@@ -1,0 +1,282 @@
+"""Config dataclasses for the whole framework.
+
+The reference scatters configuration across argparse blocks and hardcoded
+constants (reference: urban_sounds/train_classifier.py:154-181,
+whisper_finetune/train.py:59-83, whisper_finetune/model.py:117). Here every
+subsystem is driven by one frozen dataclass tree so configs are hashable
+(usable as jit static args), serializable, and testable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _ConfigBase:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in known:
+                continue
+            ftype = next(f for f in dataclasses.fields(cls) if f.name == k)
+            if dataclasses.is_dataclass(ftype.type) and isinstance(v, dict):
+                kwargs[k] = ftype.type.from_dict(v)
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# DSP / mel front-end
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MelConfig(_ConfigBase):
+    """Parameterization of the fused log-mel front-end.
+
+    One kernel serves both reference pipelines:
+      - the UrbanSound torchaudio parameterization
+        (reference: urban_sounds/dataset.py:19-24,55-56 — power mel, HTK
+        mel scale, no filter norm, natural log(x + 1e-9))
+      - the Whisper/HF parameterization
+        (reference: whisper_finetune/dataset.py:57-62 via
+        WhisperFeatureExtractor — 400-pt FFT, Slaney filters, log10 with
+        clamp at 1e-10, dynamic-range max-8 floor, (x+4)/4 normalize, and
+        the final STFT frame dropped).
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 400
+    hop_length: int = 160
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: Optional[float] = None  # None -> sample_rate / 2
+    power: float = 2.0
+    center: bool = True
+    pad_mode: str = "reflect"
+    mel_scale: str = "slaney"  # "htk" | "slaney"
+    mel_norm: Optional[str] = "slaney"  # None | "slaney"
+    # "log_eps": natural log(mel + 1e-9)   (torchaudio/urbansound pipeline)
+    # "whisper": log10(clamp(mel,1e-10)); floor at max-8; (x+4)/4
+    log_mode: str = "whisper"
+    # Whisper's extractor computes T+1 STFT frames and drops the last
+    # (30 s * 16 kHz / 160 + 1 = 3001 -> 3000 frames).
+    drop_last_frame: bool = True
+
+    @property
+    def effective_f_max(self) -> float:
+        return self.f_max if self.f_max is not None else self.sample_rate / 2.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        if self.center:
+            n = num_samples // self.hop_length + 1
+        else:
+            n = (num_samples - self.n_fft) // self.hop_length + 1
+        return n - 1 if self.drop_last_frame else n
+
+    @staticmethod
+    def urbansound(sample_rate: int = 22050, n_fft: int = 1024,
+                   hop_length: int = 512, n_mels: int = 64) -> "MelConfig":
+        """torchaudio.transforms.MelSpectrogram defaults + log(x+1e-9)."""
+        return MelConfig(
+            sample_rate=sample_rate, n_fft=n_fft, hop_length=hop_length,
+            n_mels=n_mels, power=2.0, center=True, pad_mode="reflect",
+            mel_scale="htk", mel_norm=None, log_mode="log_eps",
+            drop_last_frame=False,
+        )
+
+    @staticmethod
+    def whisper(sample_rate: int = 16000, n_mels: int = 80) -> "MelConfig":
+        """HF WhisperFeatureExtractor parameterization (whisper-tiny: 80 mels)."""
+        return MelConfig(
+            sample_rate=sample_rate, n_fft=400, hop_length=160, n_mels=n_mels,
+            power=2.0, center=True, pad_mode="reflect", mel_scale="slaney",
+            mel_norm="slaney", log_mode="whisper", drop_last_frame=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Models
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UrbanSoundConfig(_ConfigBase):
+    """Conv front-end -> pre-LN transformer encoder -> CNN head classifier.
+
+    Capability-equivalent to the reference UrbanSoundModel
+    (reference: urban_sounds/model.py:95-214; defaults at :96-113), with the
+    positional-embedding bug (torch.arrange typo, model.py:153) fixed.
+    """
+
+    n_mels: int = 64
+    num_classes: int = 10
+    conv_dim: int = 128
+    conv_kernel: int = 3
+    encoder_dim: int = 256
+    num_encoder_blocks: int = 4
+    num_heads: int = 8
+    dropout: float = 0.1
+    cnn_dims: Tuple[int, ...] = (256, 512)
+    max_positions: int = 1000
+    # "batch" matches the reference BatchNorm1d; "group" is the
+    # DP-friendly deviation (no cross-replica running stats needed).
+    norm_type: str = "batch"
+
+
+@dataclass(frozen=True)
+class WhisperConfig(_ConfigBase):
+    """Whisper encoder-decoder architecture + special-token vocabulary.
+
+    Matches openai/whisper-tiny (reference: whisper_finetune/model.py:117;
+    architecture dump in wandb run output.log:28-81 — d_model 384, 4+4
+    layers, 6 heads, ffn 1536, vocab 51865, 80 mel bins).
+    """
+
+    vocab_size: int = 51865
+    n_mels: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    num_heads: int = 6
+    ffn_dim: int = 1536
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    activation: str = "gelu"
+    # Special tokens (whisper multilingual vocab).
+    pad_token_id: int = 50257          # == <|endoftext|>
+    bos_token_id: int = 50257
+    eos_token_id: int = 50257
+    decoder_start_token_id: int = 50258  # <|startoftranscript|>
+    no_timestamps_token_id: int = 50363  # <|notimestamps|>
+    timestamp_begin_id: int = 50364      # <|0.00|>
+    # language/task tokens used by the default forced prefix
+    lang_en_token_id: int = 50259        # <|en|>
+    transcribe_token_id: int = 50359     # <|transcribe|>
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @staticmethod
+    def tiny() -> "WhisperConfig":
+        return WhisperConfig()
+
+    @staticmethod
+    def test(vocab_size: int = 1024) -> "WhisperConfig":
+        """A tiny config for fast unit tests."""
+        return WhisperConfig(
+            vocab_size=vocab_size, n_mels=80, d_model=64, encoder_layers=2,
+            decoder_layers=2, num_heads=2, ffn_dim=128,
+            max_source_positions=64, max_target_positions=32,
+            pad_token_id=0, bos_token_id=0, eos_token_id=0,
+            decoder_start_token_id=1, no_timestamps_token_id=3,
+            timestamp_begin_id=4, lang_en_token_id=2, transcribe_token_id=2,
+        )
+
+
+@dataclass(frozen=True)
+class EmotionWhisperConfig(_ConfigBase):
+    """Whisper + linear emotion head (reference: whisper_finetune/model.py:6-18)."""
+
+    whisper: WhisperConfig = field(default_factory=WhisperConfig)
+    num_emotion_classes: int = 10
+
+
+# ---------------------------------------------------------------------------
+# Decoding
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DecodeConfig(_ConfigBase):
+    """On-device autoregressive decode configuration.
+
+    Mirrors the generation-parameter surface the reference exercises through
+    HF `generate` (reference: whisper_finetune/evaluate_simple.py:125-135,
+    evaluate.py:41-58, inference.py:159-216) as jit-compatible logit
+    processors.
+    """
+
+    max_new_tokens: int = 100
+    temperature: float = 0.0          # 0 => greedy
+    no_repeat_ngram_size: int = 0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0       # used by beam scoring only
+    return_timestamps: bool = False
+    compression_ratio_threshold: Optional[float] = None
+    forced_language_token: Optional[int] = None   # e.g. <|en|>
+    forced_task_token: Optional[int] = None       # e.g. <|transcribe|>
+    suppress_blank: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OptimizerConfig(_ConfigBase):
+    name: str = "adamw"               # "adam" | "adamw"
+    learning_rate: float = 3e-5
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    grad_clip_norm: Optional[float] = None
+    # schedule: "constant" | "linear_warmup_decay" | "reduce_on_plateau"
+    schedule: str = "constant"
+    warmup_fraction: float = 0.1      # of total steps (linear_warmup_decay)
+    plateau_patience: int = 5         # epochs (reduce_on_plateau)
+    plateau_factor: float = 0.1
+
+
+@dataclass(frozen=True)
+class TrainConfig(_ConfigBase):
+    batch_size: int = 32
+    num_epochs: int = 10
+    seed: int = 42
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    # bf16 activations on TPU; params stay fp32.
+    compute_dtype: str = "bfloat16"
+    emotion_weight: float = 0.5       # dual-loss mix (reference train.py:227)
+    log_every: int = 10
+    checkpoint_dir: Optional[str] = None
+    keep_checkpoints: int = 3
+    # mesh axes, e.g. (("data", -1),) or (("data", -1), ("model", 2))
+    mesh_shape: Tuple[Tuple[str, int], ...] = (("data", -1),)
+    remat: bool = False               # jax.checkpoint the encoder/decoder blocks
+
+
+@dataclass(frozen=True)
+class DataConfig(_ConfigBase):
+    dataset: str = "synthetic"        # "urbansound8k" | "expresso" | "synthetic" | "local"
+    data_dir: Optional[str] = None
+    sample_rate: int = 16000
+    duration: float = 4.0
+    limit_samples: Optional[int] = None
+    data_percentage: float = 1.0
+    val_split: float = 0.2
+    test_split: float = 0.1
+    seed: int = 42
+    num_workers: int = 4

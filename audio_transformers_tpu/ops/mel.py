@@ -1,0 +1,224 @@
+"""Fused log-mel spectrogram front-end, TPU-native.
+
+The reference computes mel features on the host CPU per-sample — via
+`torchaudio.transforms.MelSpectrogram` for UrbanSound (reference:
+urban_sounds/dataset.py:19-24,55-56) and via HF `WhisperFeatureExtractor`
+(numpy STFT) for Expresso (reference: whisper_finetune/dataset.py:57-62).
+Here the whole front-end runs on the TPU, batched:
+
+  framing -> Hann window -> |rDFT|^2 -> mel filterbank -> log
+
+The rDFT is expressed as two matmuls against precomputed cos/sin bases, so
+the entire pipeline is MXU work and XLA (or the fused Pallas kernel in
+`mel_pallas.py`) fuses the elementwise tail into it. One parameterization
+(`MelConfig`) covers both reference pipelines bit-for-bit at fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_transformers_tpu.core.config import MelConfig
+
+# ---------------------------------------------------------------------------
+# Filterbank / basis construction (numpy, done once per config)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel(freq: np.ndarray, mel_scale: str) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    if mel_scale == "slaney":
+        f_sp = 200.0 / 3.0
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = math.log(6.4) / 27.0
+        mels = freq / f_sp
+        above = freq >= min_log_hz
+        with np.errstate(divide="ignore"):
+            mels = np.where(above,
+                            min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep,
+                            mels)
+        return mels
+    raise ValueError(f"unknown mel_scale {mel_scale!r}")
+
+
+def mel_to_hz(mels: np.ndarray, mel_scale: str) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    if mel_scale == "slaney":
+        f_sp = 200.0 / 3.0
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = math.log(6.4) / 27.0
+        freqs = f_sp * mels
+        above = mels >= min_log_mel
+        freqs = np.where(above, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+        return freqs
+    raise ValueError(f"unknown mel_scale {mel_scale!r}")
+
+
+def mel_filter_bank(cfg: MelConfig) -> np.ndarray:
+    """Triangular mel filterbank, shape (n_freqs, n_mels), float32.
+
+    Matches torchaudio `melscale_fbanks` (htk/no-norm) and HF
+    `transformers.audio_utils.mel_filter_bank` (slaney/slaney) — the two
+    parameterizations the reference relies on.
+    """
+    all_freqs = np.linspace(0.0, cfg.sample_rate / 2.0, cfg.n_freqs)
+    m_min = hz_to_mel(np.array(cfg.f_min), cfg.mel_scale)
+    m_max = hz_to_mel(np.array(cfg.effective_f_max), cfg.mel_scale)
+    m_pts = np.linspace(m_min, m_max, cfg.n_mels + 2)
+    f_pts = mel_to_hz(m_pts, cfg.mel_scale)
+
+    f_diff = f_pts[1:] - f_pts[:-1]                       # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]          # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))            # (n_freqs, n_mels)
+
+    if cfg.mel_norm == "slaney":
+        enorm = 2.0 / (f_pts[2: cfg.n_mels + 2] - f_pts[: cfg.n_mels])
+        fb = fb * enorm[None, :]
+    elif cfg.mel_norm is not None:
+        raise ValueError(f"unknown mel_norm {cfg.mel_norm!r}")
+    return fb.astype(np.float32)
+
+
+def hann_window(n: int, periodic: bool = True) -> np.ndarray:
+    denom = n if periodic else n - 1
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / denom))).astype(np.float32)
+
+
+def dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT cos/sin bases, each (n_fft, n_freqs) fp32.
+
+    rfft(x)[k] = sum_n x[n] (cos - i sin)(2 pi k n / N); we only need the
+    power |X|^2 = (x @ cos)^2 + (x @ sin)^2, so signs are irrelevant.
+    """
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freqs, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _windowed_bases(cfg: MelConfig):
+    """(window*cos, window*sin, mel_fb) with the Hann window folded into the
+    DFT bases — saves a VPU pass over every frame."""
+    win = hann_window(cfg.n_fft)
+    cos_b, sin_b = dft_bases(cfg.n_fft)
+    fb = mel_filter_bank(cfg)
+    return win[:, None] * cos_b, win[:, None] * sin_b, fb
+
+
+# ---------------------------------------------------------------------------
+# Numpy golden reference (used by tests; mirrors torchaudio / HF exactly)
+# ---------------------------------------------------------------------------
+
+
+def reference_log_mel(waveform: np.ndarray, cfg: MelConfig) -> np.ndarray:
+    """Pure-numpy reference. waveform (num_samples,) -> (frames, n_mels)."""
+    wav = np.asarray(waveform, dtype=np.float32)
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        wav = np.pad(wav, pad, mode=cfg.pad_mode)
+        n_frames = len(waveform) // cfg.hop_length + 1
+    else:
+        n_frames = (len(waveform) - cfg.n_fft) // cfg.hop_length + 1
+    idx = (np.arange(n_frames)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :])
+    frames = wav[idx] * hann_window(cfg.n_fft)[None, :]
+    spec = np.fft.rfft(frames.astype(np.float64), axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    if cfg.power == 1.0:
+        power = np.sqrt(power)
+    mel = power @ mel_filter_bank(cfg)
+    if cfg.log_mode == "log_eps":
+        out = np.log(mel + 1e-9)
+    elif cfg.log_mode == "whisper":
+        if cfg.drop_last_frame:
+            mel = mel[:-1]
+        out = np.log10(np.maximum(mel, 1e-10))
+        out = np.maximum(out, out.max() - 8.0)
+        out = (out + 4.0) / 4.0
+    elif cfg.log_mode == "none":
+        out = mel
+    else:
+        raise ValueError(cfg.log_mode)
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(wav: jax.Array, cfg: MelConfig) -> jax.Array:
+    """wav (B, N) -> frames (B, T_full, n_fft). T_full includes the final
+    frame even when cfg.drop_last_frame (the drop happens in the epilogue)."""
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+        n_frames = (wav.shape[1] - cfg.n_fft) // cfg.hop_length + 1
+    else:
+        n_frames = (wav.shape[1] - cfg.n_fft) // cfg.hop_length + 1
+    idx = (jnp.arange(n_frames)[:, None] * cfg.hop_length
+           + jnp.arange(cfg.n_fft)[None, :])
+    return jnp.take(wav, idx, axis=1)
+
+
+def _log_epilogue(mel: jax.Array, cfg: MelConfig) -> jax.Array:
+    """mel (B, T, n_mels) power-mel -> log features per cfg.log_mode."""
+    if cfg.log_mode == "log_eps":
+        return jnp.log(mel + 1e-9)
+    if cfg.log_mode == "whisper":
+        if cfg.drop_last_frame:
+            mel = mel[:, :-1, :]
+        out = jnp.log10(jnp.maximum(mel, 1e-10))
+        floor = jnp.max(out, axis=(1, 2), keepdims=True) - 8.0
+        out = jnp.maximum(out, floor)
+        return (out + 4.0) / 4.0
+    if cfg.log_mode == "none":
+        return mel
+    raise ValueError(cfg.log_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def log_mel_xla(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
+    """waveform (B, num_samples) f32 -> (B, frames, n_mels) f32 features."""
+    # Feature extraction must be exact fp32 (the parity anchor is
+    # bit-matching reference features), so force full-precision matmuls —
+    # TPU "default" precision would round inputs to bf16.
+    hi = jax.lax.Precision.HIGHEST
+    wcos, wsin, fb = (jnp.asarray(a) for a in _windowed_bases(cfg))
+    frames = frame_signal(waveform.astype(jnp.float32), cfg)
+    re = jnp.einsum("btn,nf->btf", frames, wcos, precision=hi,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("btn,nf->btf", frames, wsin, precision=hi,
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    if cfg.power == 1.0:
+        power = jnp.sqrt(power)
+    mel = jnp.einsum("btf,fm->btm", power, fb, precision=hi,
+                     preferred_element_type=jnp.float32)
+    return _log_epilogue(mel, cfg)
+
+
+def log_mel(waveform: jax.Array, cfg: MelConfig, *,
+            implementation: str = "auto") -> jax.Array:
+    """Batched log-mel features. implementation: auto|xla|pallas."""
+    if implementation == "auto":
+        implementation = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    if implementation == "pallas":
+        from audio_transformers_tpu.ops.mel_pallas import log_mel_pallas
+        return log_mel_pallas(waveform, cfg)
+    return log_mel_xla(waveform, cfg)
