@@ -79,15 +79,17 @@ def conv1d(params: dict, x: Array, *, stride: int = 1,
         pad = [(k // 2, (k - 1) // 2)]
     else:
         pad = padding
+    # No preferred_element_type here: conv requires matching operand dtypes
+    # and its VJP breaks with a widened cotangent; the MXU accumulates in
+    # fp32 internally regardless, so bf16-in/bf16-out is safe for k=3 convs.
     y = jax.lax.conv_general_dilated(
         x, params["w"].astype(x.dtype),
         window_strides=(stride,),
         padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
+        y = (y.astype(jnp.float32) + params["b"].astype(jnp.float32))
     return y.astype(x.dtype)
 
 

@@ -1,0 +1,112 @@
+"""Host-side audio utilities: mono mixdown, resampling, padding, wav IO.
+
+These mirror the per-sample preprocessing the reference does inside its
+torch Dataset (reference: urban_sounds/dataset.py:25-52 — mono mean,
+resample, pad/trim to fixed duration, peak normalize) but operate on numpy
+and are vectorizable; the mel transform itself runs on the TPU
+(ops/mel.py), not here.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import wave
+from fractions import Fraction
+
+import numpy as np
+
+
+def to_mono(audio: np.ndarray) -> np.ndarray:
+    """(channels, n) or (n, channels) or (n,) -> (n,). Channel-mean, like
+    the reference (urban_sounds/dataset.py:31-34)."""
+    a = np.asarray(audio, dtype=np.float32)
+    if a.ndim == 1:
+        return a
+    if a.ndim == 2:
+        # channels-first if first dim is small
+        return a.mean(axis=0) if a.shape[0] <= 8 else a.mean(axis=1)
+    raise ValueError(f"unsupported audio shape {a.shape}")
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase windowed-sinc resampler (capability equivalent of
+    torchaudio.transforms.Resample; reference: urban_sounds/dataset.py:37-39).
+    Uses scipy's polyphase implementation with a Kaiser window."""
+    if orig_sr == target_sr:
+        return np.asarray(audio, dtype=np.float32)
+    from scipy.signal import resample_poly
+    frac = Fraction(target_sr, orig_sr)
+    out = resample_poly(np.asarray(audio, dtype=np.float64),
+                        frac.numerator, frac.denominator)
+    return out.astype(np.float32)
+
+
+def pad_or_trim(audio: np.ndarray, target_len: int) -> np.ndarray:
+    a = np.asarray(audio, dtype=np.float32)
+    if len(a) < target_len:
+        return np.pad(a, (0, target_len - len(a)))
+    return a[:target_len]
+
+
+def peak_normalize(audio: np.ndarray) -> np.ndarray:
+    peak = np.max(np.abs(audio))
+    return audio / peak if peak > 0 else audio
+
+
+def preprocess_clip(audio: np.ndarray, orig_sr: int, *, target_sr: int,
+                    duration: float, normalize: bool = True) -> np.ndarray:
+    """Full reference-equivalent clip preprocessing chain."""
+    a = to_mono(audio)
+    a = resample(a, orig_sr, target_sr)
+    a = pad_or_trim(a, int(target_sr * duration))
+    if normalize:
+        a = peak_normalize(a)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# wav IO (stdlib only; soundfile/librosa are not in this environment)
+# ---------------------------------------------------------------------------
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file -> (float32 mono-or-multichannel array, sr)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        data = data.reshape(-1, ch).T
+    return data, sr
+
+
+def write_wav(path: str, audio: np.ndarray, sr: int):
+    a = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    pcm = (a * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1 if pcm.ndim == 1 else pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.T.tobytes() if pcm.ndim > 1 else pcm.tobytes())
+
+
+def synth_clip(duration: float, sr: int, *, freq: float = 440.0,
+               noise: float = 0.05, seed: int = 0) -> np.ndarray:
+    """Deterministic sine+noise clip, the same self-test fixture idea the
+    reference uses (reference: whisper_finetune/inference.py:243-258)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration * sr)) / sr
+    wav = (0.5 * np.sin(2 * math.pi * freq * t)
+           + noise * rng.standard_normal(len(t)))
+    return wav.astype(np.float32)

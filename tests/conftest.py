@@ -23,5 +23,3 @@ import jax  # noqa: E402
 
 if not os.environ.get("ATX_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_numpy_rank_promotion", "raise")
