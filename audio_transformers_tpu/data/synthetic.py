@@ -97,7 +97,7 @@ class SyntheticSeq2Seq:
             "waveform": base["waveform"],
             "labels": labels,
             "label_len": np.int32(min(len(seq), self.max_label_len)),
-            "emotion_label": base["label"],
+            "emotion_labels": base["label"],
         }
 
     def batcher(self, batch_size: int, seed: int = 42) -> Batcher:

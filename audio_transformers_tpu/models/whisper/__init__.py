@@ -1,0 +1,10 @@
+from audio_transformers_tpu.models.whisper.model import (  # noqa: F401
+    apply_decoder,
+    apply_decoder_step,
+    encode,
+    init,
+    init_cache,
+    logits_from_hidden,
+    param_axes,
+    precompute_cross_attention,
+)

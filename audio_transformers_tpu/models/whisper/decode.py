@@ -1,0 +1,162 @@
+"""jit-compiled autoregressive decoding with a KV cache.
+
+The reference decodes through HF `generate` — a host Python loop with one
+device sync per token (reference: whisper_finetune/evaluate_simple.py:125-135,
+evaluate.py:41-58, inference.py:159-216). Here the whole decode is ONE
+compiled program: `lax.while_loop` over fixed-size token/hidden/KV buffers
+with on-device logit processors (ops/logit_processors.py), early-exiting
+when every row has emitted EOS.
+
+The loop also records the decoder's last hidden state for every generated
+position, so segment/sequence emotion pooling reuses them directly — the
+reference re-encodes the audio and re-runs the decoder a second time for
+that (evaluate_simple.py:141-143).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import DecodeConfig, WhisperConfig
+from audio_transformers_tpu.models.whisper import model as wm
+from audio_transformers_tpu.ops import logit_processors as lp
+
+# Begin-suppress defaults: " " and <|endoftext|> (whisper generation config).
+_SPACE_TOKEN = 220
+
+
+def build_prompt(cfg: WhisperConfig, dcfg: DecodeConfig) -> Tuple[int, ...]:
+    """The forced decoder prefix: <|startoftranscript|> [lang] [task]
+    [<|notimestamps|>]. Equivalent to HF forced_decoder_ids, which the
+    reference has to clear/reset ad hoc (evaluate_simple.py:79-83,
+    inference.py:60-66)."""
+    prompt = [cfg.decoder_start_token_id]
+    if dcfg.forced_language_token is not None:
+        prompt.append(dcfg.forced_language_token)
+    if dcfg.forced_task_token is not None:
+        prompt.append(dcfg.forced_task_token)
+    if not dcfg.return_timestamps:
+        prompt.append(cfg.no_timestamps_token_id)
+    return tuple(prompt)
+
+
+def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
+                    dcfg: DecodeConfig, prompt_len: int,
+                    suppress_ids: Tuple[int, ...],
+                    begin_suppress_ids: Tuple[int, ...]):
+    logits = lp.suppress_tokens(logits, suppress_ids)
+    logits = lp.suppress_tokens_at(logits, begin_suppress_ids, pos,
+                                   prompt_len)
+    if dcfg.repetition_penalty != 1.0:
+        logits = lp.repetition_penalty(logits, tokens, pos,
+                                       dcfg.repetition_penalty)
+    if dcfg.no_repeat_ngram_size:
+        logits = lp.no_repeat_ngram(logits, tokens, pos,
+                                    dcfg.no_repeat_ngram_size)
+    if dcfg.return_timestamps:
+        logits = lp.whisper_timestamp_rules(
+            logits, tokens, pos,
+            begin_index=prompt_len,
+            timestamp_begin=cfg.timestamp_begin_id,
+            eos_token_id=cfg.eos_token_id,
+            no_timestamps_token_id=cfg.no_timestamps_token_id)
+    return logits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "prompt", "suppress_ids",
+                     "begin_suppress_ids", "max_len"))
+def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
+             enc: jax.Array, *,
+             prompt: Optional[Tuple[int, ...]] = None,
+             suppress_ids: Tuple[int, ...] = (),
+             begin_suppress_ids: Tuple[int, ...] = (_SPACE_TOKEN,),
+             max_len: Optional[int] = None,
+             rng: Optional[jax.Array] = None) -> dict:
+    """Decode from encoder states. Returns a dict:
+      tokens  (B, L) int32 — prompt + generated, pad after EOS
+      hiddens (B, L, D)    — decoder last hidden per fed position
+      lengths (B,) int32   — valid token count incl. prompt and EOS
+    """
+    if prompt is None:
+        prompt = build_prompt(cfg, dcfg)
+    prompt_arr = jnp.asarray(prompt, jnp.int32)
+    p_len = len(prompt)
+    batch = enc.shape[0]
+    L = max_len or min(p_len + dcfg.max_new_tokens, cfg.max_target_positions)
+    begin_suppress_ids = tuple(begin_suppress_ids) + (cfg.eos_token_id,)
+
+    tokens = jnp.full((batch, L), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
+    hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
+    cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype)
+    cross = wm.precompute_cross_attention(params, cfg, enc)
+    finished = jnp.zeros((batch,), bool)
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def cond(state):
+        tokens, hiddens, cache, finished, key = state
+        return (cache["index"] < L - 1) & ~jnp.all(finished)
+
+    def body(state):
+        tokens, hiddens, cache, finished, key = state
+        i = cache["index"]
+        tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
+        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross)
+        hiddens = jax.lax.dynamic_update_slice(
+            hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
+
+        pos = i + 1  # position being generated
+        table = params["decoder"]["embed"]["table"].astype(hidden.dtype)
+        logits = jnp.einsum("bd,vd->bv", hidden, table,
+                            preferred_element_type=jnp.float32)
+        logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,
+                                 suppress_ids, begin_suppress_ids)
+
+        if dcfg.temperature and dcfg.temperature > 0.0:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits / dcfg.temperature,
+                                         axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        # inside the forced prompt, the next token is the prompt token
+        in_prompt = pos < p_len
+        prompt_tok = prompt_arr[jnp.minimum(pos, p_len - 1)]
+        nxt = jnp.where(in_prompt, prompt_tok, nxt)
+        nxt = jnp.where(finished, cfg.pad_token_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None], (0, pos))
+        finished = finished | (~in_prompt & (nxt == cfg.eos_token_id))
+        return tokens, hiddens, cache, finished, key
+
+    tokens, hiddens, cache, finished, key = jax.lax.while_loop(
+        cond, body, (tokens, hiddens, cache, finished, key))
+
+    # If a row never finished, feed the final token once more so its hidden
+    # state exists for pooling.
+    def finish_tail(args):
+        tokens, hiddens, cache = args
+        i = cache["index"]
+        tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
+        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross)
+        hiddens = jax.lax.dynamic_update_slice(
+            hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
+        return tokens, hiddens, cache
+
+    tokens, hiddens, cache = jax.lax.cond(
+        cache["index"] < L, finish_tail, lambda a: a,
+        (tokens, hiddens, cache))
+
+    positions = jnp.arange(L)[None, :]
+    is_eos = (tokens == cfg.eos_token_id) & (positions >= p_len)
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos + 1, L).astype(jnp.int32)
+
+    return {"tokens": tokens, "hiddens": hiddens, "lengths": lengths}

@@ -1,0 +1,133 @@
+"""Import HF Whisper checkpoints into the functional pytree.
+
+Accepts state dicts from either `WhisperForConditionalGeneration` (keys
+`model.encoder...`) or the reference's `EmotionWhisperModel` wrapper (keys
+`whisper.model.encoder...` plus `emotion_classifier.*`; reference:
+whisper_finetune/model.py:12-15). `proj_out.weight` is ignored — tying is
+structural on our side (the reference's loaders must manually re-tie it:
+reference inference.py:36-48, evaluate_simple.py:54-65).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from audio_transformers_tpu.core.config import WhisperConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if any(k.startswith("whisper.") for k in sd):
+        sd = {k[len("whisper."):]: v for k, v in sd.items()
+              if k.startswith("whisper.") or k.startswith("emotion_classifier.")
+              or not k.startswith("whisper.")}
+        # keep emotion head keys reachable under their own name
+    return sd
+
+
+def _linear(sd, prefix: str, *, bias: bool = True) -> dict:
+    p = {"w": _np(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv(sd, prefix: str) -> dict:
+    # torch conv1d weight (out, in, k) -> ours (k, in, out)
+    return {"w": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0),
+            "b": _np(sd[f"{prefix}.bias"])}
+
+
+def _ln(sd, prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _attn(sd, prefix: str) -> dict:
+    return {
+        "q": _linear(sd, f"{prefix}.q_proj"),
+        "k": _linear(sd, f"{prefix}.k_proj"),  # whisper k_proj has no bias
+        "v": _linear(sd, f"{prefix}.v_proj"),
+        "o": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def from_torch_state_dict(sd: Dict, cfg: WhisperConfig) \
+        -> Tuple[dict, Optional[dict]]:
+    """Returns (whisper params pytree, emotion head params or None)."""
+    sd = dict(sd)
+    if any(k.startswith("whisper.") for k in sd):
+        sd = {(k[len("whisper."):] if k.startswith("whisper.") else k): v
+              for k, v in sd.items()}
+
+    enc = {
+        "conv1": _conv(sd, "model.encoder.conv1"),
+        "conv2": _conv(sd, "model.encoder.conv2"),
+        "pos": _np(sd["model.encoder.embed_positions.weight"]),
+        "ln": _ln(sd, "model.encoder.layer_norm"),
+        "blocks": [],
+    }
+    for i in range(cfg.encoder_layers):
+        pre = f"model.encoder.layers.{i}"
+        enc["blocks"].append({
+            "self_ln": _ln(sd, f"{pre}.self_attn_layer_norm"),
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "mlp_ln": _ln(sd, f"{pre}.final_layer_norm"),
+            "fc1": _linear(sd, f"{pre}.fc1"),
+            "fc2": _linear(sd, f"{pre}.fc2"),
+        })
+
+    dec = {
+        "embed": {"table": _np(sd["model.decoder.embed_tokens.weight"])},
+        "pos": _np(sd["model.decoder.embed_positions.weight"]),
+        "ln": _ln(sd, "model.decoder.layer_norm"),
+        "blocks": [],
+    }
+    for i in range(cfg.decoder_layers):
+        pre = f"model.decoder.layers.{i}"
+        dec["blocks"].append({
+            "self_ln": _ln(sd, f"{pre}.self_attn_layer_norm"),
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "cross_ln": _ln(sd, f"{pre}.encoder_attn_layer_norm"),
+            "cross_attn": _attn(sd, f"{pre}.encoder_attn"),
+            "mlp_ln": _ln(sd, f"{pre}.final_layer_norm"),
+            "fc1": _linear(sd, f"{pre}.fc1"),
+            "fc2": _linear(sd, f"{pre}.fc2"),
+        })
+
+    emotion = None
+    if "emotion_classifier.weight" in sd:
+        emotion = _linear(sd, "emotion_classifier")
+
+    return {"encoder": enc, "decoder": dec}, emotion
+
+
+def config_from_hf(hf_config) -> WhisperConfig:
+    """Build our WhisperConfig from a transformers.WhisperConfig."""
+    return WhisperConfig(
+        vocab_size=hf_config.vocab_size,
+        n_mels=hf_config.num_mel_bins,
+        d_model=hf_config.d_model,
+        encoder_layers=hf_config.encoder_layers,
+        decoder_layers=hf_config.decoder_layers,
+        num_heads=hf_config.encoder_attention_heads,
+        ffn_dim=hf_config.encoder_ffn_dim,
+        max_source_positions=hf_config.max_source_positions,
+        max_target_positions=hf_config.max_target_positions,
+        pad_token_id=hf_config.pad_token_id,
+        bos_token_id=hf_config.bos_token_id,
+        eos_token_id=hf_config.eos_token_id,
+        decoder_start_token_id=hf_config.decoder_start_token_id,
+    )
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+    return load_file(path)

@@ -1,0 +1,279 @@
+"""Whisper encoder-decoder (whisper-tiny class), functional JAX.
+
+First-party TPU-native replacement for the reference's dependency on HF
+`WhisperForConditionalGeneration` (reference: whisper_finetune/model.py:12 —
+the wrapped `self.whisper`), with the same architecture so pretrained
+checkpoints import losslessly (load.py):
+
+  encoder: conv1d(n_mels->D,k3,p1) GELU -> conv1d(D->D,k3,s2,p1) GELU
+           -> +sinusoidal positions -> N pre-LN blocks -> LN
+  decoder: tok embed + learned positions -> N pre-LN blocks
+           (causal self-attn, cross-attn, MLP) -> LN
+  logits:  hidden @ embed_tokens^T   (weight tying is structural here — the
+           projection has no weights of its own, unlike the reference whose
+           save/load path silently unties it, evaluate_simple.py:54-65)
+
+Two decoder entry points:
+  - apply_decoder: full-sequence teacher-forced pass (training/eval)
+  - apply_decoder_step: single-token incremental pass over a fixed-size KV
+    cache (the jit'd autoregressive decode; see decode.py)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from audio_transformers_tpu.core.config import WhisperConfig
+from audio_transformers_tpu.core.pytree import map_with_path, split_keys
+from audio_transformers_tpu.ops import nn
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _block_init(key, dim: int, heads: int, ffn: int, *, cross: bool) -> dict:
+    names = ["attn", "fc1", "fc2"] + (["cross"] if cross else [])
+    ks = split_keys(key, names)
+    p = {
+        "self_ln": nn.layer_norm_init(dim),
+        "self_attn": nn.mha_init(ks["attn"], dim, heads, k_bias=False),
+        "mlp_ln": nn.layer_norm_init(dim),
+        "fc1": nn.linear_init(ks["fc1"], dim, ffn),
+        "fc2": nn.linear_init(ks["fc2"], ffn, dim),
+    }
+    if cross:
+        p["cross_ln"] = nn.layer_norm_init(dim)
+        p["cross_attn"] = nn.mha_init(ks["cross"], dim, heads, k_bias=False)
+    return p
+
+
+def init(key: jax.Array, cfg: WhisperConfig) -> dict:
+    ks = split_keys(key, ["conv1", "conv2", "eblocks", "embed", "dpos",
+                          "dblocks"])
+    d = cfg.d_model
+    enc = {
+        "conv1": nn.conv1d_init(ks["conv1"], cfg.n_mels, d, 3),
+        "conv2": nn.conv1d_init(ks["conv2"], d, d, 3),
+        # Sinusoidal in the original model; a parameter in HF checkpoints —
+        # kept as a parameter for import parity, initialized sinusoidally.
+        "pos": nn.sinusoidal_embeddings(cfg.max_source_positions, d),
+        "blocks": [
+            _block_init(k, d, cfg.num_heads, cfg.ffn_dim, cross=False)
+            for k in jax.random.split(ks["eblocks"], cfg.encoder_layers)],
+        "ln": nn.layer_norm_init(d),
+    }
+    dec = {
+        "embed": {"table": jax.random.normal(ks["embed"],
+                                             (cfg.vocab_size, d)) * 0.02},
+        "pos": jax.random.normal(ks["dpos"],
+                                 (cfg.max_target_positions, d)) * 0.02,
+        "blocks": [
+            _block_init(k, d, cfg.num_heads, cfg.ffn_dim, cross=True)
+            for k in jax.random.split(ks["dblocks"], cfg.decoder_layers)],
+        "ln": nn.layer_norm_init(d),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _self_block(p: dict, x: jax.Array, heads: int,
+                mask: Optional[jax.Array]) -> jax.Array:
+    h = nn.layer_norm(p["self_ln"], x)
+    x = x + nn.multihead_attention(p["self_attn"], h, h, num_heads=heads,
+                                   mask=mask)
+    h = nn.layer_norm(p["mlp_ln"], x)
+    x = x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
+    return x
+
+
+def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
+           remat: bool = False) -> jax.Array:
+    """mel: (B, T_mel, n_mels) -> encoder states (B, T_mel//2, d_model)."""
+    p = params["encoder"]
+    x = nn.gelu(nn.conv1d(p["conv1"], mel, padding=1))
+    x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
+    t = x.shape[1]
+    x = x + p["pos"][None, :t, :].astype(x.dtype)
+    block = _self_block
+    if remat:
+        block = jax.checkpoint(_self_block, static_argnums=(2,))
+    for bp in p["blocks"]:
+        x = block(bp, x, cfg.num_heads, None)
+    return nn.layer_norm(p["ln"], x)
+
+
+# ---------------------------------------------------------------------------
+# decoder (full-sequence, teacher-forced)
+# ---------------------------------------------------------------------------
+
+
+def _cross_block(p: dict, x: jax.Array, enc: jax.Array, heads: int,
+                 self_mask: Optional[jax.Array]) -> jax.Array:
+    h = nn.layer_norm(p["self_ln"], x)
+    x = x + nn.multihead_attention(p["self_attn"], h, h, num_heads=heads,
+                                   mask=self_mask)
+    h = nn.layer_norm(p["cross_ln"], x)
+    x = x + nn.multihead_attention(p["cross_attn"], h, enc, num_heads=heads)
+    h = nn.layer_norm(p["mlp_ln"], x)
+    x = x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
+    return x
+
+
+def apply_decoder(params: dict, cfg: WhisperConfig, enc: jax.Array,
+                  tokens: jax.Array, *, position_offset: int = 0,
+                  remat: bool = False) -> jax.Array:
+    """tokens: (B, T) -> last hidden states (B, T, d_model).
+
+    Causal self-attention only (no padding mask) — deliberately matching the
+    reference's teacher-forced training which passes no decoder attention
+    mask (reference: whisper_finetune/train.py:195-202).
+    """
+    p = params["decoder"]
+    t = tokens.shape[1]
+    x = nn.embedding_lookup(p["embed"], tokens)
+    x = x + p["pos"][None, position_offset: position_offset + t, :]
+    x = x.astype(enc.dtype)
+    mask = nn.causal_mask(t)
+    block = _cross_block
+    if remat:
+        block = jax.checkpoint(_cross_block, static_argnums=(3,))
+    for bp in p["blocks"]:
+        x = block(bp, x, enc, cfg.num_heads, mask)
+    return nn.layer_norm(p["ln"], x)
+
+
+def logits_from_hidden(params: dict, hidden: jax.Array) -> jax.Array:
+    """Tied output projection: hidden @ embed^T -> (B, T, vocab) fp32."""
+    table = params["decoder"]["embed"]["table"].astype(hidden.dtype)
+    return jnp.einsum("btd,vd->btv", hidden, table,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# incremental decoding with a fixed-size KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_cache(cfg: WhisperConfig, batch: int, *, max_len: Optional[int] = None,
+               dtype=jnp.float32) -> dict:
+    """Per-layer self-attention K/V rings of static length (TPU: static
+    shapes; the reference decodes through HF's dynamic-shape Python loop,
+    one sync per token — evaluate_simple.py:125-135)."""
+    max_len = max_len or cfg.max_target_positions
+    h, hd = cfg.num_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((cfg.decoder_layers, batch, h, max_len, hd), dtype),
+        "v": jnp.zeros((cfg.decoder_layers, batch, h, max_len, hd), dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+def precompute_cross_attention(params: dict, cfg: WhisperConfig,
+                               enc: jax.Array) -> dict:
+    """Cross-attn K/V depend only on encoder output — compute once per
+    audio segment instead of per decode step (the reference re-encodes audio
+    for its second emotion pass; evaluate_simple.py:141-143)."""
+    ks, vs = [], []
+    for bp in params["decoder"]["blocks"]:
+        k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
+                           cfg.num_heads)
+        v = nn.split_heads(nn.linear(bp["cross_attn"]["v"], enc),
+                           cfg.num_heads)
+        ks.append(k)
+        vs.append(v)
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
+                       cache: dict, cross: dict) -> Tuple[jax.Array, dict]:
+    """One decode step. token: (B,) int32; returns (hidden (B, d), cache).
+
+    Writes this step's K/V at cache["index"], attends over the valid prefix.
+    """
+    p = params["decoder"]
+    idx = cache["index"]
+    b = token.shape[0]
+    x = nn.embedding_lookup(p["embed"], token)[:, None, :]  # (B, 1, D)
+    x = x + jax.lax.dynamic_slice_in_dim(p["pos"], idx, 1, axis=0)[None]
+    x = x.astype(cache["k"].dtype)
+
+    max_len = cache["k"].shape[3]
+    pos_ids = jnp.arange(max_len)
+    attn_mask = (pos_ids <= idx)[None, None, None, :]  # (1,1,1,L)
+
+    new_k, new_v = [], []
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    for li, bp in enumerate(p["blocks"]):
+        h = nn.layer_norm(bp["self_ln"], x)
+        q = nn.split_heads(nn.linear(bp["self_attn"]["q"], h), cfg.num_heads)
+        k_new = nn.split_heads(nn.linear(bp["self_attn"]["k"], h),
+                               cfg.num_heads)
+        v_new = nn.split_heads(nn.linear(bp["self_attn"]["v"], h),
+                               cfg.num_heads)
+        k_all = jax.lax.dynamic_update_slice(
+            cache["k"][li], k_new, (0, 0, idx, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            cache["v"][li], v_new, (0, 0, idx, 0))
+        new_k.append(k_all)
+        new_v.append(v_all)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(attn_mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + nn.linear(bp["self_attn"]["o"], nn.merge_heads(attn))
+
+        h = nn.layer_norm(bp["cross_ln"], x)
+        q = nn.split_heads(nn.linear(bp["cross_attn"]["q"], h),
+                           cfg.num_heads)
+        clogits = jnp.einsum("bhqd,bhkd->bhqk", q, cross["k"][li],
+                             preferred_element_type=jnp.float32) * scale
+        cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
+        cattn = jnp.einsum("bhqk,bhkd->bhqd", cprobs, cross["v"][li],
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + nn.linear(bp["cross_attn"]["o"], nn.merge_heads(cattn))
+
+        h = nn.layer_norm(bp["mlp_ln"], x)
+        x = x + nn.linear(bp["fc2"], nn.gelu(nn.linear(bp["fc1"], h)))
+
+    x = nn.layer_norm(p["ln"], x)
+    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v),
+                 "index": idx + 1}
+    return x[:, 0, :], new_cache
+
+
+# ---------------------------------------------------------------------------
+# sharding
+# ---------------------------------------------------------------------------
+
+
+def param_axes(params: dict):
+    """TP PartitionSpecs over a "model" axis: attention q/k/v/o over heads,
+    MLP over hidden, embedding over vocab. DP-only meshes ignore these
+    (SURVEY.md §2c: models are tiny; DP is the workload strategy, TP stays a
+    mesh-shape change)."""
+
+    def _axes_for(path: str, x) -> P:
+        if path.endswith(("attn/q/w", "attn/k/w", "attn/v/w", "fc1/w")):
+            return P(None, "model")
+        if path.endswith(("attn/q/b", "attn/v/b", "fc1/b")):
+            return P("model")
+        if path.endswith(("attn/o/w", "fc2/w")):
+            return P("model", None)
+        if path.endswith("embed/table"):
+            return P("model", None)
+        return P()
+
+    return map_with_path(_axes_for, params)

@@ -1,0 +1,158 @@
+"""On-device logit processors for autoregressive decoding.
+
+jit-compatible (static shapes, traced positions) equivalents of the HF
+processors the reference exercises through `generate`:
+  - suppress / begin-suppress token lists
+  - no_repeat_ngram_size (reference: evaluate_simple.py:131, evaluate.py:52,
+    inference.py:162)
+  - repetition_penalty (reference: evaluate_simple.py:132, inference.py:163)
+  - Whisper timestamp rules (reference: evaluate.py:41-58 decodes with
+    return_timestamps="generate")
+
+All operate on fp32 logits (B, V) given the token buffer (B, L) and the
+current generation position `pos` (number of tokens already in the buffer).
+Length penalty is beam-search-only in HF semantics — the reference passes
+length_penalty=-0.5 to greedy generate where it is a no-op
+(evaluate_simple.py:134) — so it lives in beam scoring, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def suppress_tokens(logits: jax.Array, token_ids: Sequence[int]) -> jax.Array:
+    if not len(token_ids):
+        return logits
+    ids = jnp.asarray(list(token_ids), jnp.int32)
+    mask = jnp.zeros((logits.shape[-1],), bool).at[ids].set(True)
+    return jnp.where(mask[None, :], NEG_INF, logits)
+
+
+def suppress_tokens_at(logits: jax.Array, token_ids: Sequence[int],
+                       pos: jax.Array, at_pos: int) -> jax.Array:
+    """Suppress `token_ids` only when generating position `at_pos`
+    (HF begin_suppress_tokens)."""
+    if not len(token_ids):
+        return logits
+    suppressed = suppress_tokens(logits, token_ids)
+    return jnp.where(pos == at_pos, suppressed, logits)
+
+
+def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
+                    n: int) -> jax.Array:
+    """Ban tokens that would complete an n-gram already present in
+    tokens[:, :pos]. `tokens` is the fixed-size buffer (B, L)."""
+    if n <= 0:
+        return logits
+    b, length = tokens.shape
+    if length < n:
+        return logits
+    # last (n-1)-gram ending at pos-1
+    last = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))  # (B, n-1)
+    num_windows = length - n + 1
+    match = jnp.ones((b, num_windows), bool)
+    for j in range(n - 1):
+        match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
+    starts = jnp.arange(num_windows)
+    # window fully inside history: start + n - 1 < pos
+    valid = (starts[None, :] + (n - 1)) < pos
+    flags = (match & valid).astype(logits.dtype)
+    cont = tokens[:, n - 1: n - 1 + num_windows]  # continuation tokens
+    banned = jnp.zeros_like(logits).at[
+        jnp.arange(b)[:, None], cont].max(flags)
+    active = pos >= n  # need a full (n-1)-gram of history
+    return jnp.where(active & (banned > 0), NEG_INF, logits)
+
+
+def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
+                       penalty: float) -> jax.Array:
+    """HF CTRL-style penalty over tokens seen in tokens[:, :pos]."""
+    if penalty == 1.0:
+        return logits
+    b, length = tokens.shape
+    in_history = jnp.arange(length)[None, :] < pos
+    seen = jnp.zeros_like(logits, dtype=bool).at[
+        jnp.arange(b)[:, None], tokens].max(in_history)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def whisper_timestamp_rules(
+        logits: jax.Array, tokens: jax.Array, pos: jax.Array, *,
+        begin_index: int, timestamp_begin: int, eos_token_id: int,
+        no_timestamps_token_id: int,
+        max_initial_timestamp_index: Optional[int] = 50) -> jax.Array:
+    """HF WhisperTimeStampLogitsProcessor semantics, vectorized:
+
+      - <|notimestamps|> is always suppressed
+      - timestamps come in pairs (except directly before EOS): after a
+        single timestamp, text is suppressed; after a pair, timestamps are
+      - timestamps are non-decreasing: earlier timestamps are masked
+      - at the first generated position only timestamps are allowed,
+        capped at max_initial_timestamp_index
+      - if total timestamp probability exceeds the max text-token
+        probability, text is suppressed
+    """
+    b, vocab = logits.shape
+    length = tokens.shape[1]
+    vocab_ids = jnp.arange(vocab)
+    is_ts_vocab = vocab_ids >= timestamp_begin
+
+    logits = logits.at[:, no_timestamps_token_id].set(NEG_INF)
+
+    last = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - 1, 0)), (b, 1))[:, 0]
+    penult = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - 2, 0)), (b, 1))[:, 0]
+    last_was_ts = (pos > begin_index) & (last >= timestamp_begin)
+    penult_was_ts = (pos <= begin_index + 1) | (penult >= timestamp_begin)
+
+    # pair rule (HF masks ids < eos for the "no normal text" branch —
+    # in the real whisper vocab every text token id is below eos)
+    mask_ts = last_was_ts & penult_was_ts          # has to be non-timestamp
+    mask_text = last_was_ts & ~penult_was_ts       # cannot be normal text
+    logits = jnp.where(mask_ts[:, None] & is_ts_vocab[None, :], NEG_INF,
+                       logits)
+    logits = jnp.where(mask_text[:, None]
+                       & (vocab_ids < eos_token_id)[None, :], NEG_INF,
+                       logits)
+
+    # monotonicity: mask timestamps strictly below the LAST seen timestamp
+    # (in sequence order), exclusive if mid-pair, else inclusive (+1).
+    positions = jnp.arange(length)
+    hist = (positions[None, :] >= begin_index) & (positions[None, :] < pos)
+    is_ts_hist = hist & (tokens >= timestamp_begin)
+    last_idx = jnp.max(jnp.where(is_ts_hist, positions[None, :], -1), axis=1)
+    has_ts = last_idx >= 0
+    last_ts = jnp.take_along_axis(
+        tokens, jnp.maximum(last_idx, 0)[:, None], axis=1)[:, 0]
+    floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
+    below_floor = vocab_ids[None, :] < floor[:, None]
+    logits = jnp.where(has_ts[:, None] & is_ts_vocab[None, :] & below_floor,
+                       NEG_INF, logits)
+
+    # first generated position: timestamps only, capped
+    at_begin = pos == begin_index
+    logits = jnp.where(at_begin & ~is_ts_vocab[None, :], NEG_INF, logits)
+    if max_initial_timestamp_index is not None:
+        cap = timestamp_begin + max_initial_timestamp_index
+        logits = jnp.where(at_begin & (vocab_ids[None, :] > cap), NEG_INF,
+                           logits)
+
+    # probability rule
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts_vocab[None, :], logprobs, NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts_vocab[None, :], NEG_INF, logprobs),
+                       axis=-1)
+    force_ts = ts_logprob > max_text
+    logits = jnp.where(force_ts[:, None] & ~is_ts_vocab[None, :], NEG_INF,
+                       logits)
+    return logits

@@ -1,0 +1,202 @@
+"""Dual-loss whisper-emotion fine-tuning (transcription CE + emotion CE).
+
+Capability-equivalent to the reference trainer (reference:
+whisper_finetune/train.py:86-406): teacher-forced shifted cross-entropy
+with pad ignored + weighted emotion cross-entropy over the mean-pooled
+decoder states, AdamW + linear warmup/decay, best-by-val-loss
+checkpointing, the reference's metric names, and the style_to_id.txt
+label-map artifact. TPU-first: one jit'd step with the mel front-end
+fused in, batch sharded over the mesh "data" axis.
+
+Loss-masking note: the reference's `ignore_index=pad_token_id` also
+excludes EOS from the transcription loss because whisper's pad IS
+<|endoftext|> (reference train.py:154; SURVEY.md §2 defects). We keep that
+exact semantic by default (`mask_mode="pad"`) for parity, and offer
+`mask_mode="keep_first_eos"` which supervises the first EOS per row.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_transformers_tpu.core.checkpoint import (Checkpointer,
+                                                    save_label_map)
+from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
+                                                MelConfig, TrainConfig)
+from audio_transformers_tpu.core.metrics import MetricLogger, StepTimer
+from audio_transformers_tpu.models.whisper import emotion as emo
+from audio_transformers_tpu.ops.mel import log_mel
+from audio_transformers_tpu.parallel.mesh import (build_mesh, replicated,
+                                                  shard_batch)
+from audio_transformers_tpu.train.optim import build_optimizer
+
+
+def dual_loss(logits: jax.Array, emotion_logits: jax.Array,
+              labels: jax.Array, emotion_labels: jax.Array, *,
+              pad_token_id: int, emotion_weight: float,
+              mask_mode: str = "pad") -> Dict[str, jax.Array]:
+    """labels (B, T+1): full sequences; teacher forcing uses labels[:, :-1]
+    as inputs and labels[:, 1:] as targets (reference train.py:195-211).
+    `logits` correspond to the shifted inputs, i.e. (B, T, V)."""
+    targets = labels[:, 1:]
+    mask = (targets != pad_token_id)
+    if mask_mode == "keep_first_eos":
+        # supervise the first pad/EOS position after real tokens
+        prev_real = jnp.concatenate(
+            [jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+        mask = mask | (prev_real & ~mask)
+    per_tok = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), targets)
+    m = mask.astype(jnp.float32)
+    transcription = jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+    emotion = optax.softmax_cross_entropy_with_integer_labels(
+        emotion_logits.astype(jnp.float32), emotion_labels).mean()
+    total = transcription + emotion_weight * emotion
+    acc = jnp.mean((jnp.argmax(emotion_logits, -1) == emotion_labels)
+                   .astype(jnp.float32))
+    return {"loss": total, "transcription_loss": transcription,
+            "emotion_loss": emotion, "emotion_accuracy": acc}
+
+
+def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
+               train_cfg: TrainConfig, tx):
+    compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+    pad = cfg.whisper.pad_token_id
+
+    def _forward(params, batch, *, remat):
+        mel = log_mel(batch["waveform"], mel_cfg).astype(compute_dtype)
+        dec_in = batch["labels"][:, :-1]
+        return emo.forward_train(params, cfg, mel, dec_in, remat=remat)
+
+    def _loss(params, batch):
+        logits, emotion_logits = _forward(params, batch,
+                                          remat=train_cfg.remat)
+        out = dual_loss(logits, emotion_logits, batch["labels"],
+                        batch["emotion_labels"], pad_token_id=pad,
+                        emotion_weight=train_cfg.emotion_weight)
+        return out["loss"], out
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        grads, metrics = jax.grad(_loss, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, batch):
+        logits, emotion_logits = _forward(params, batch, remat=False)
+        out = dual_loss(logits, emotion_logits, batch["labels"],
+                        batch["emotion_labels"], pad_token_id=pad,
+                        emotion_weight=train_cfg.emotion_weight)
+        valid = batch["valid"].astype(jnp.float32)
+        correct = (jnp.argmax(emotion_logits, -1) == batch["emotion_labels"])
+        return {
+            "loss": out["loss"],
+            "transcription_loss": out["transcription_loss"],
+            "emotion_loss": out["emotion_loss"],
+            "correct": jnp.sum(correct.astype(jnp.float32) * valid),
+            "count": jnp.sum(valid),
+        }
+
+    return train_step, eval_step
+
+
+def evaluate(eval_step, params, batcher, mesh) -> Dict[str, float]:
+    sums = {"loss": 0.0, "transcription_loss": 0.0, "emotion_loss": 0.0}
+    correct = count = 0.0
+    n_batches = 0
+    for batch in batcher.eval_batches():
+        out = eval_step(params, shard_batch(batch, mesh))
+        for k in sums:
+            sums[k] += float(out[k])
+        correct += float(out["correct"])
+        count += float(out["count"])
+        n_batches += 1
+    n = max(n_batches, 1)
+    return {**{k: v / n for k, v in sums.items()},
+            "emotion_accuracy": correct / max(count, 1.0)}
+
+
+def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
+                          train_cfg: TrainConfig, train_batcher, val_batcher,
+                          *, init_params: Optional[dict] = None,
+                          style_to_idx: Optional[dict] = None,
+                          output_dir: Optional[str] = None,
+                          wandb_project: Optional[str] = None,
+                          logger: Optional[MetricLogger] = None) -> dict:
+    mesh = build_mesh(train_cfg.mesh_shape)
+    total_steps = train_batcher.steps_per_epoch * train_cfg.num_epochs
+    tx = build_optimizer(train_cfg.optimizer, total_steps=total_steps)
+
+    if init_params is None:
+        init_params = emo.init(jax.random.PRNGKey(train_cfg.seed), cfg)
+    params = jax.device_put(init_params, replicated(mesh))
+    opt_state = jax.device_put(tx.init(params), replicated(mesh))
+    train_step, eval_step = make_steps(cfg, mel_cfg, train_cfg, tx)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        if style_to_idx:
+            # artifact parity with the reference (train.py:137-141)
+            save_label_map(os.path.join(output_dir, "style_to_id.txt"),
+                           style_to_idx)
+    ckpt = (Checkpointer(os.path.join(output_dir, "checkpoints"),
+                         max_to_keep=train_cfg.keep_checkpoints,
+                         best_mode="min") if output_dir else None)
+    log = logger or MetricLogger(
+        log_dir=output_dir, wandb_project=wandb_project,
+        config={"cfg": cfg.to_json(), "train": train_cfg.to_json()})
+
+    best_val_loss = float("inf")
+    history = []
+    step = 0
+    timer = StepTimer()
+    for epoch in range(train_cfg.num_epochs):
+        acc = {"loss": 0.0, "transcription_loss": 0.0, "emotion_loss": 0.0,
+               "emotion_accuracy": 0.0}
+        n = 0
+        for batch in train_batcher.train_epochs(epoch=epoch):
+            params, opt_state, m = train_step(params, opt_state,
+                                              shard_batch(batch, mesh))
+            for k in acc:
+                acc[k] += float(m[k])
+            n += 1
+            step += 1
+            timer.tick(items=train_cfg.batch_size)
+
+        val = evaluate(eval_step, params, val_batcher, mesh)
+        rates = timer.rates()
+        timer.reset()
+        row = {
+            "epoch": epoch + 1,
+            **{f"train/{k}": v / max(n, 1) for k, v in acc.items()},
+            **{f"val/{k}": v for k, v in val.items()},
+            "clips_per_sec": rates.get("items_per_sec", 0.0),
+        }
+        history.append(row)
+        log.log(row, step=step)
+
+        if val["loss"] < best_val_loss:
+            best_val_loss = val["loss"]
+            if ckpt is not None:
+                ckpt.save(step, {"params": params},
+                          metadata={"cfg": cfg.to_json(),
+                                    "mel_cfg": mel_cfg.to_json(),
+                                    "epoch": epoch + 1,
+                                    "val_loss": val["loss"],
+                                    "style_to_idx": style_to_idx},
+                          best_metric=val["loss"])
+
+    if ckpt is not None:
+        ckpt.close()
+    log.finish()
+    return {"params": params, "opt_state": opt_state, "history": history,
+            "best_val_loss": best_val_loss}

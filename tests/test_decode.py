@@ -1,0 +1,202 @@
+"""Decode-parity tests (SURVEY.md §4 prescription (d)).
+
+Token-level parity is checked against HF's own logits processors and a
+step-by-step torch greedy loop over the same random-weight model — i.e.
+exactly what `generate` does minus its hub-dependent meta-behavior (no
+network in this environment).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import DecodeConfig
+from audio_transformers_tpu.models import whisper as wm
+from audio_transformers_tpu.models.whisper import decode as wdecode
+from audio_transformers_tpu.models.whisper.load import (config_from_hf,
+                                                        from_torch_state_dict)
+from audio_transformers_tpu.ops import logit_processors as lp
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=500, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=50, max_target_positions=32,
+        pad_token_id=0, bos_token_id=0, eos_token_id=0,
+        decoder_start_token_id=1,
+    )
+    torch.manual_seed(0)
+    tm = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params, _ = from_torch_state_dict(tm.state_dict(), cfg)
+    return tm, cfg, params
+
+
+def _mel(batch, t, n_mels, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, t, n_mels)).astype(np.float32)
+
+
+def _hf_greedy(tm, mel_cf, prompt, max_new, processors, eos_id, pad_id):
+    """Reference greedy loop: torch forward + official HF processors."""
+    import torch
+
+    ids = torch.tensor([list(prompt)] * mel_cf.shape[0], dtype=torch.long)
+    finished = torch.zeros(ids.shape[0], dtype=torch.bool)
+    with torch.no_grad():
+        for _ in range(max_new):
+            logits = tm(input_features=mel_cf,
+                        decoder_input_ids=ids).logits[:, -1, :]
+            for proc in processors:
+                logits = proc(ids, logits)
+            nxt = logits.argmax(-1)
+            nxt = torch.where(finished, torch.full_like(nxt, pad_id), nxt)
+            ids = torch.cat([ids, nxt[:, None]], dim=1)
+            finished |= nxt == eos_id
+            if bool(finished.all()):
+                break
+    return ids.numpy()
+
+
+class TestGreedyParity:
+    @pytest.mark.parametrize("ngram,penalty", [(0, 1.0), (3, 1.0),
+                                               (0, 1.15), (3, 1.15)])
+    def test_matches_hf_processors(self, hf_pair, ngram, penalty):
+        import torch
+        from transformers.generation.logits_process import (
+            NoRepeatNGramLogitsProcessor, RepetitionPenaltyLogitsProcessor)
+
+        tm, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=11)
+        prompt = (cfg.decoder_start_token_id,)
+        max_new = 16
+
+        procs = []
+        if penalty != 1.0:
+            procs.append(RepetitionPenaltyLogitsProcessor(penalty))
+        if ngram:
+            procs.append(NoRepeatNGramLogitsProcessor(ngram))
+        want = _hf_greedy(tm, torch.from_numpy(mel.transpose(0, 2, 1)),
+                          prompt, max_new, procs, cfg.eos_token_id,
+                          cfg.pad_token_id)
+
+        dcfg = DecodeConfig(max_new_tokens=max_new, temperature=0.0,
+                            no_repeat_ngram_size=ngram,
+                            repetition_penalty=penalty,
+                            return_timestamps=False)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        # bypass build_prompt's notimestamps (toy vocab has none meaningful)
+        out = wdecode.generate(params, cfg, dcfg, enc, prompt=prompt,
+                               begin_suppress_ids=())
+        got = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        for b in range(3):
+            n = min(lengths[b], want.shape[1])
+            np.testing.assert_array_equal(
+                got[b, :n], want[b, :n],
+                err_msg=f"row {b}: ours {got[b, :n]} vs hf {want[b, :n]}")
+
+    def test_lengths_and_padding(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=5)
+        dcfg = DecodeConfig(max_new_tokens=12)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        out = wdecode.generate(params, cfg, dcfg, enc,
+                               prompt=(cfg.decoder_start_token_id,),
+                               begin_suppress_ids=())
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        for b in range(2):
+            if lengths[b] < tokens.shape[1]:
+                assert tokens[b, lengths[b] - 1] == cfg.eos_token_id
+                assert (tokens[b, lengths[b]:] == cfg.pad_token_id).all()
+
+
+class TestTimestampRules:
+    def _gen_config(self, cfg):
+        from transformers import GenerationConfig
+        g = GenerationConfig()
+        g.no_timestamps_token_id = cfg.no_timestamps_token_id
+        g.eos_token_id = cfg.eos_token_id
+        g.max_initial_timestamp_index = 50
+        g.decoder_start_token_id = cfg.decoder_start_token_id
+        return g
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_hf_timestamp_processor(self, hf_pair, seed):
+        import torch
+        from transformers.generation.logits_process import (
+            WhisperTimeStampLogitsProcessor)
+
+        _, cfg, _ = hf_pair
+        # timestamps occupy the top of the toy vocab; eos must be nonzero
+        # here (HF's processor does `eos or bos`, so eos=0 degenerates)
+        cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400,
+                          eos_token_id=398)
+        begin = 2
+        rng = np.random.default_rng(seed)
+        length = 10
+        # random histories with a plausible mix of text and timestamps
+        toks = rng.integers(2, cfg.vocab_size, (2, length)).astype(np.int64)
+        toks[:, 0] = cfg.decoder_start_token_id
+        # sprinkle timestamps (non-decreasing)
+        for b in range(2):
+            t0 = 400 + int(rng.integers(0, 40))
+            toks[b, 2] = t0
+            if seed % 2:
+                toks[b, 3] = t0 + int(rng.integers(0, 30))
+        for pos in range(begin, length):
+            logits = rng.standard_normal((2, cfg.vocab_size)).astype(np.float32)
+
+            proc = WhisperTimeStampLogitsProcessor(
+                self._gen_config(cfg), begin_index=begin)
+            want = proc(torch.from_numpy(toks[:, :pos]),
+                        torch.from_numpy(logits.copy())).numpy()
+
+            buf = np.zeros((2, length), np.int32)
+            buf[:, :pos] = toks[:, :pos]
+            got = np.asarray(lp.whisper_timestamp_rules(
+                jnp.asarray(logits), jnp.asarray(buf), jnp.asarray(pos),
+                begin_index=begin,
+                timestamp_begin=cfg.timestamp_begin_id,
+                eos_token_id=cfg.eos_token_id,
+                no_timestamps_token_id=cfg.no_timestamps_token_id,
+                max_initial_timestamp_index=50))
+
+            # compare argmax decisions and mask patterns
+            finite_want = np.isfinite(np.where(want < -1e30, -np.inf, want))
+            finite_got = np.isfinite(np.where(got < -1e30, -np.inf, got))
+            np.testing.assert_array_equal(
+                finite_got, finite_want,
+                err_msg=f"mask mismatch at pos={pos}")
+            np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_timestamped_decode_produces_valid_structure(hf_pair):
+    """End-to-end timestamped greedy decode on the toy model: timestamps
+    non-decreasing, first generated token is a timestamp."""
+    _, cfg, params = hf_pair
+    cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400)
+    mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=9)
+    dcfg = DecodeConfig(max_new_tokens=20, return_timestamps=True)
+    enc = wm.encode(params, cfg, jnp.asarray(mel))
+    prompt = (cfg.decoder_start_token_id,)
+    out = wdecode.generate(params, cfg, dcfg, enc, prompt=prompt,
+                           begin_suppress_ids=())
+    tokens = np.asarray(out["tokens"])
+    lengths = np.asarray(out["lengths"])
+    for b in range(2):
+        gen = tokens[b, 1: lengths[b]]
+        assert gen[0] >= cfg.timestamp_begin_id, gen
+        ts = [t for t in gen if t >= cfg.timestamp_begin_id]
+        assert ts == sorted(ts), ts
