@@ -1,0 +1,70 @@
+"""Segment-level (timestamped) evaluation CLI (reference:
+whisper_finetune/evaluate.py:13-20 flags).
+
+  python -m audio_transformers_tpu.cli.evaluate \
+      --model_path ./emotion_whisper_model/checkpoints --dataset synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Segment-level evaluation")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--output_dir", default="eval_out")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--data_percentage", type=float, default=1.0)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["expresso", "synthetic"])
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--simple_styles", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--max_segments", type=int, default=16)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import os
+
+    from audio_transformers_tpu.cli.common import (build_expresso_splits,
+                                                   get_tokenizer)
+    from audio_transformers_tpu.infer.evaluate import evaluate_segment_level
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+
+    tokenizer = get_tokenizer(args.tokenizer)
+    if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
+            or os.path.exists(os.path.join(args.model_path,
+                                           "pytorch_model.bin")):
+        pipe = EmotionWhisperPipeline.from_hf_dir(args.model_path,
+                                                  tokenizer=tokenizer)
+    else:
+        pipe = EmotionWhisperPipeline.from_checkpoint(
+            args.model_path, tokenizer=tokenizer)
+
+    w = pipe.cfg.whisper
+    duration = min(30.0, (2 * w.max_source_positions)
+                   * pipe.mel_cfg.hop_length / pipe.mel_cfg.sample_rate)
+    _, _, test_ds, style_to_idx = build_expresso_splits(
+        args, tokenizer, duration=duration, vocab_size=w.vocab_size)
+    idx_to_style = {v: k for k, v in style_to_idx.items()}
+
+    result = evaluate_segment_level(
+        pipe.params, pipe.cfg, pipe.mel_cfg,
+        test_ds.batcher(args.batch_size), idx_to_style,
+        output_dir=args.output_dir, max_segments=args.max_segments,
+        compute_dtype=pipe.compute_dtype)
+
+    print(f"Total segments evaluated: {result['total_segments']}")
+    print(f"Segment-level Accuracy: {result['accuracy']:.4f}")
+    print(f"Segment-level F1: {result['weighted_f1']:.4f}")
+    print(result["report"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Sequence-level evaluation CLI (the reference's published-metric path;
+reference: whisper_finetune/evaluate_simple.py:19-29 flags).
+
+  python -m audio_transformers_tpu.cli.evaluate_simple \
+      --model_path ./emotion_whisper_model/checkpoints \
+      --dataset synthetic --output_dir eval_out
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Sequence-level evaluation")
+    p.add_argument("--model_path", required=True,
+                   help="orbax checkpoint dir or HF-format dir")
+    p.add_argument("--output_dir", default="eval_out")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_percentage", type=float, default=1.0)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["expresso", "synthetic"])
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--simple_styles", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--max_new_tokens", type=int, default=100)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import os
+
+    from audio_transformers_tpu.cli.common import (build_expresso_splits,
+                                                   get_tokenizer)
+    from audio_transformers_tpu.core.config import DecodeConfig
+    from audio_transformers_tpu.infer.evaluate import evaluate_sequence_level
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+
+    tokenizer = get_tokenizer(args.tokenizer)
+    if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
+            or os.path.exists(os.path.join(args.model_path,
+                                           "pytorch_model.bin")):
+        pipe = EmotionWhisperPipeline.from_hf_dir(args.model_path,
+                                                  tokenizer=tokenizer)
+    else:
+        pipe = EmotionWhisperPipeline.from_checkpoint(
+            args.model_path, tokenizer=tokenizer)
+
+    w = pipe.cfg.whisper
+    duration = min(30.0, (2 * w.max_source_positions)
+                   * pipe.mel_cfg.hop_length / pipe.mel_cfg.sample_rate)
+    _, _, test_ds, style_to_idx = build_expresso_splits(
+        args, tokenizer, duration=duration, vocab_size=w.vocab_size)
+    idx_to_style = {v: k for k, v in style_to_idx.items()}
+
+    dcfg = DecodeConfig(max_new_tokens=args.max_new_tokens,
+                        no_repeat_ngram_size=3, repetition_penalty=1.15)
+    result = evaluate_sequence_level(
+        pipe.params, pipe.cfg, pipe.mel_cfg,
+        test_ds.batcher(args.batch_size), idx_to_style,
+        tokenizer=tokenizer, output_dir=args.output_dir, dcfg=dcfg,
+        compute_dtype=pipe.compute_dtype)
+
+    print("\n===== SUMMARY =====")
+    print("Samples    :", result["samples"])
+    print("Accuracy   :", round(result["accuracy"], 4))
+    print("Weighted F1:", round(result["weighted_f1"], 4))
+    if "wer" in result:
+        print("WER        :", round(result["wer"], 4))
+    return result
+
+
+if __name__ == "__main__":
+    main()

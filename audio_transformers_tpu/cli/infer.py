@@ -1,0 +1,75 @@
+"""Inference CLI: transcription + per-segment emotion for an audio file.
+
+  python -m audio_transformers_tpu.cli.infer --audio clip.wav \
+      --model_path ./emotion_whisper_model/checkpoints
+
+With no --audio, runs the synthesized self-test (the reference's
+inference.py __main__ behavior, inference.py:239-300).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Emotion-whisper inference")
+    p.add_argument("--audio", default=None, help="wav file path")
+    p.add_argument("--model_path", default=None,
+                   help="orbax checkpoint dir or HF dir; random init if unset")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--segment_duration", type=float, default=5.0)
+    p.add_argument("--json", action="store_true", help="print raw JSON")
+    return p.parse_args(argv)
+
+
+def load_pipeline(args):
+    import os
+
+    from audio_transformers_tpu.cli.common import get_tokenizer
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+
+    tokenizer = get_tokenizer(args.tokenizer)
+    if args.model_path is None:
+        import jax
+        from audio_transformers_tpu.core.config import EmotionWhisperConfig
+        from audio_transformers_tpu.models.whisper import emotion as emo
+        cfg = EmotionWhisperConfig()
+        params = emo.init(jax.random.PRNGKey(0), cfg)
+        return EmotionWhisperPipeline(params, cfg, tokenizer=tokenizer)
+    if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
+            or os.path.exists(os.path.join(args.model_path,
+                                           "pytorch_model.bin")):
+        return EmotionWhisperPipeline.from_hf_dir(args.model_path,
+                                                  tokenizer=tokenizer)
+    return EmotionWhisperPipeline.from_checkpoint(args.model_path,
+                                                  tokenizer=tokenizer)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from audio_transformers_tpu.utils.audio import read_wav, synth_clip
+
+    pipe = load_pipeline(args)
+    if args.audio:
+        wav, sr = read_wav(args.audio)
+    else:
+        print("no --audio given; running synthesized self-test clip")
+        wav, sr = synth_clip(12.0, 16000), 16000
+
+    result = pipe.analyze(wav, sr, segment_duration=args.segment_duration)
+    if args.json:
+        print(json.dumps(result, indent=2))
+    else:
+        print(f"\nTranscription: {result['transcription']!r}")
+        for seg in result["segments"]:
+            top = max(seg["emotion_probs"].items(), key=lambda kv: kv[1])
+            print(f"  [{seg['start']:6.1f}s - {seg['end']:6.1f}s] "
+                  f"{top[0]} ({top[1]:.2f})  {seg['text']!r}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -25,16 +25,22 @@ class _ConfigBase:
 
     @classmethod
     def from_dict(cls, d: dict):
-        known = {f.name for f in dataclasses.fields(cls)}
+        import typing
+
+        # field annotations are strings under `from __future__ import
+        # annotations`; resolve them to real types for nested configs
+        hints = typing.get_type_hints(cls)
         kwargs = {}
-        for k, v in d.items():
-            if k not in known:
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
                 continue
-            ftype = next(f for f in dataclasses.fields(cls) if f.name == k)
-            if dataclasses.is_dataclass(ftype.type) and isinstance(v, dict):
-                kwargs[k] = ftype.type.from_dict(v)
-            else:
-                kwargs[k] = v
+            v = d[f.name]
+            ftype = hints.get(f.name, f.type)
+            if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                v = ftype.from_dict(v)
+            elif isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            kwargs[f.name] = v
         return cls(**kwargs)
 
     def replace(self, **kwargs):

@@ -1,0 +1,161 @@
+"""Sequence- and segment-level evaluation of the whisper-emotion model.
+
+Writes the reference's exact artifact formats so results are directly
+comparable:
+  - sequence level (reference: whisper_finetune/evaluate_simple.py:33-183):
+    predictions.txt TSV rows `gt_style\tpred_style\tgt_text\tpred_text` and
+    metrics.txt `samples/accuracy/weighted_f1` tab-separated
+  - segment level (reference: whisper_finetune/evaluate.py:96-370):
+    segment_evaluation.txt with accuracy/F1/classification_report, ground
+    truth = the sample's emotion replicated per segment (evaluate.py:292-299)
+
+TPU redesign: transcription decode and emotion logits come from ONE jit'd
+batched pass (the decode loop surfaces hidden states) instead of the
+reference's generate-then-reforward double encode
+(evaluate_simple.py:125-143).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                EmotionWhisperConfig,
+                                                MelConfig)
+from audio_transformers_tpu.infer.metrics import (classification_metrics,
+                                                  word_error_rate)
+from audio_transformers_tpu.models import whisper as wm
+from audio_transformers_tpu.models.whisper import decode as wdecode
+from audio_transformers_tpu.models.whisper import emotion as emo
+from audio_transformers_tpu.ops.mel import log_mel
+
+
+def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
+                  dcfg: DecodeConfig, waveform, prompt, compute_dtype):
+    w = cfg.whisper
+    mel = log_mel(jnp.asarray(waveform), mel_cfg).astype(compute_dtype)
+    enc = wm.encode(params["whisper"], w, mel)
+    out = wdecode.generate(params["whisper"], w, dcfg, enc, prompt=prompt)
+    return out
+
+
+def evaluate_sequence_level(params, cfg: EmotionWhisperConfig,
+                            mel_cfg: MelConfig, batcher, idx_to_style: Dict,
+                            *, tokenizer=None,
+                            output_dir: Optional[str] = None,
+                            dcfg: Optional[DecodeConfig] = None,
+                            compute_dtype=jnp.bfloat16) -> dict:
+    """Greedy transcription + sequence-level emotion over a test batcher.
+
+    Decode settings default to the reference's published evaluation
+    (evaluate_simple.py:125-135: greedy, max 100 new tokens,
+    no_repeat_ngram 3, repetition_penalty 1.15)."""
+    dcfg = dcfg or DecodeConfig(max_new_tokens=100, no_repeat_ngram_size=3,
+                                repetition_penalty=1.15)
+    w = cfg.whisper
+    prompt = wdecode.build_prompt(w, dcfg)
+
+    gt_all, pred_all, rows = [], [], []
+    gt_texts, pred_texts = [], []
+    for batch in batcher.eval_batches():
+        out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
+                            prompt, compute_dtype)
+        emotion_logits = emo.sequence_emotion_from_hiddens(
+            params, out["hiddens"], out["lengths"])
+        preds = np.asarray(jnp.argmax(emotion_logits, -1))
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        for b in range(len(preds)):
+            if not batch["valid"][b]:
+                continue
+            gt = int(batch["emotion_labels"][b])
+            pr = int(preds[b])
+            gt_all.append(gt)
+            pred_all.append(pr)
+            gt_txt = pr_txt = ""
+            if tokenizer is not None:
+                gen = tokens[b, len(prompt): lengths[b]].tolist()
+                pr_txt = tokenizer.decode(gen).strip()
+                lab = batch["labels"][b]
+                lab = lab[lab != getattr(tokenizer, "pad_token_id", -1)]
+                gt_txt = tokenizer.decode(lab.tolist()).strip()
+                gt_texts.append(gt_txt)
+                pred_texts.append(pr_txt)
+            rows.append((idx_to_style.get(gt, "Unknown"),
+                         idx_to_style.get(pr, "Unknown"), gt_txt, pr_txt))
+
+    result = classification_metrics(gt_all, pred_all, idx_to_style)
+    if gt_texts:
+        result["wer"] = word_error_rate(gt_texts, pred_texts)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "predictions.txt"), "w") as f:
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+        # exact reference metrics.txt format (evaluate_simple.py:176-181)
+        with open(os.path.join(output_dir, "metrics.txt"), "w") as f:
+            f.write(f"samples\t{result['samples']}\n"
+                    f"accuracy\t{result['accuracy']:.6f}\n"
+                    f"weighted_f1\t{result['weighted_f1']:.6f}\n")
+    return result
+
+
+def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
+                           mel_cfg: MelConfig, batcher, idx_to_style: Dict,
+                           *, output_dir: Optional[str] = None,
+                           dcfg: Optional[DecodeConfig] = None,
+                           max_segments: int = 16,
+                           compute_dtype=jnp.bfloat16) -> dict:
+    """Timestamped decode -> per-segment emotion; ground truth is the
+    sample's emotion replicated per segment (reference evaluate.py:292-299).
+    Decode defaults mirror evaluate.py:41-58 (timestamps on, rep penalty
+    1.1, no_repeat_ngram 3, max 256 new tokens)."""
+    dcfg = dcfg or DecodeConfig(max_new_tokens=256, return_timestamps=True,
+                                no_repeat_ngram_size=3,
+                                repetition_penalty=1.1)
+    w = cfg.whisper
+    prompt = wdecode.build_prompt(w, dcfg)
+
+    gt_all, pred_all = [], []
+    total_segments = 0
+    for batch in batcher.eval_batches():
+        out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
+                            prompt, compute_dtype)
+        seg = emo.segment_emotion_from_decode(params, cfg, out,
+                                              prompt_len=len(prompt),
+                                              max_segments=max_segments)
+        seg_preds = np.asarray(jnp.argmax(seg["segment_logits"], -1))
+        nsegs = np.asarray(seg["num_segments"])
+        counts = np.asarray(seg["segment_counts"])
+        for b in range(len(nsegs)):
+            if not batch["valid"][b]:
+                continue
+            gt = int(batch["emotion_labels"][b])
+            for s in range(int(nsegs[b])):
+                if counts[b, s] <= 0 and s > 0:
+                    continue
+                gt_all.append(gt)
+                pred_all.append(int(seg_preds[b, s]))
+                total_segments += 1
+
+    result = classification_metrics(gt_all, pred_all, idx_to_style)
+    result["total_segments"] = total_segments
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        # exact reference segment_evaluation.txt format (evaluate.py:361-369)
+        with open(os.path.join(output_dir, "segment_evaluation.txt"),
+                  "w") as f:
+            f.write(f"Total segments evaluated: {total_segments}\n")
+            f.write(f"Segment-level Emotion Classification Accuracy: "
+                    f"{result['accuracy']:.4f}\n")
+            f.write(f"Segment-level Emotion Classification F1 Score: "
+                    f"{result['weighted_f1']:.4f}\n\n")
+            f.write("Detailed Classification Report:\n")
+            f.write(result["report"])
+    return result

@@ -1,0 +1,241 @@
+"""Inference library: load + transcribe + chunked long-audio emotion.
+
+Capability-equivalent to the reference inference module (reference:
+whisper_finetune/inference.py):
+  - load_model_and_processor -> `EmotionWhisperPipeline.from_checkpoint`
+    (orbax bundle; tying/label map/config come from checkpoint metadata —
+    the reference re-ties weights and falls back across config files,
+    inference.py:12-67)
+  - load_emotion_labels -> label map from metadata or style_to_id.txt with
+    the same 10-label fallback (inference.py:69-127)
+  - perform_inference -> `analyze`: full-clip transcription + per-segment
+    emotion probabilities (inference.py:129-235)
+
+Long-audio TPU redesign (SURVEY.md §3.5): the reference loops generate()
+over 5 s chunks sequentially; here chunks are stacked into ONE batched
+jit'd decode (bucketed batch size to bound recompiles).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_transformers_tpu.core.checkpoint import Checkpointer
+from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                EmotionWhisperConfig,
+                                                MelConfig)
+from audio_transformers_tpu.models import whisper as wm
+from audio_transformers_tpu.models.whisper import decode as wdecode
+from audio_transformers_tpu.models.whisper import emotion as emo
+from audio_transformers_tpu.ops.mel import log_mel
+from audio_transformers_tpu.utils.audio import resample, to_mono
+
+# Reference fallback label list (inference.py:100-112)
+DEFAULT_EMOTION_LABELS = [
+    "confused", "default", "emphasis", "enunciated", "essentials", "happy",
+    "laughing", "sad", "singing", "whisper",
+]
+
+
+class EmotionWhisperPipeline:
+    def __init__(self, params: dict, cfg: EmotionWhisperConfig,
+                 mel_cfg: Optional[MelConfig] = None,
+                 idx_to_label: Optional[Dict[int, str]] = None,
+                 tokenizer=None, compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.mel_cfg = mel_cfg or MelConfig.whisper(n_mels=cfg.whisper.n_mels)
+        self.idx_to_label = idx_to_label or dict(
+            enumerate(DEFAULT_EMOTION_LABELS))
+        self.tokenizer = tokenizer
+        self.compute_dtype = compute_dtype
+        # model window in samples: enc positions * conv stride * hop
+        # (whisper-tiny: 1500 * 2 * 160 = 30 s @ 16 kHz)
+        self._window = (cfg.whisper.max_source_positions * 2
+                        * self.mel_cfg.hop_length)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, *, tokenizer=None,
+                        step: Optional[int] = None,
+                        compute_dtype=jnp.bfloat16
+                        ) -> "EmotionWhisperPipeline":
+        ck = Checkpointer(checkpoint_dir)
+        tree, meta, _ = ck.restore(step=step)
+        ck.close()
+        params = tree["params"] if "params" in tree else tree
+        meta = meta or {}
+        if "cfg" in meta:
+            cfg = EmotionWhisperConfig.from_dict(
+                _loads_maybe(meta["cfg"]))
+        else:
+            head = params["emotion_head"]["w"]
+            cfg = EmotionWhisperConfig(num_emotion_classes=head.shape[1])
+        mel_cfg = (MelConfig.from_dict(_loads_maybe(meta["mel_cfg"]))
+                   if "mel_cfg" in meta else None)
+        idx_to_label = None
+        if meta.get("style_to_idx"):
+            idx_to_label = {int(v): k
+                            for k, v in meta["style_to_idx"].items()}
+        return cls(params, cfg, mel_cfg, idx_to_label, tokenizer=tokenizer,
+                   compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_hf_dir(cls, model_dir: str, *, tokenizer=None,
+                    num_emotion_classes: int = 10,
+                    compute_dtype=jnp.bfloat16) -> "EmotionWhisperPipeline":
+        """Load an HF-format directory (the reference's save_pretrained
+        output: pytorch_model.bin or model.safetensors)."""
+        import json
+        import os
+
+        from audio_transformers_tpu.core.checkpoint import load_label_map
+        from audio_transformers_tpu.core.config import WhisperConfig
+        from audio_transformers_tpu.models.whisper.load import (
+            config_from_json, from_torch_state_dict, load_safetensors)
+
+        st = os.path.join(model_dir, "model.safetensors")
+        if os.path.exists(st):
+            sd = load_safetensors(st)
+        else:
+            import torch
+            sd = torch.load(os.path.join(model_dir, "pytorch_model.bin"),
+                            map_location="cpu")
+        cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                raw = json.load(f)
+            whisper_cfg = config_from_json(raw)
+            num_emotion_classes = raw.get("num_emotion_classes",
+                                          num_emotion_classes)
+        else:
+            whisper_cfg = WhisperConfig.tiny()
+        cfg = EmotionWhisperConfig(
+            whisper=whisper_cfg,
+            num_emotion_classes=num_emotion_classes)
+        whisper_params, emotion = from_torch_state_dict(sd, cfg.whisper)
+        params = {"whisper": whisper_params,
+                  "emotion_head": emotion or {}}
+        idx_to_label = None
+        lm = os.path.join(model_dir, "style_to_id.txt")
+        if os.path.exists(lm):
+            idx_to_label = {v: k for k, v in load_label_map(lm).items()}
+        return cls(params, cfg, idx_to_label=idx_to_label,
+                   tokenizer=tokenizer, compute_dtype=compute_dtype)
+
+    # ------------------------------------------------------------------
+    def _prep(self, waveform: np.ndarray, sr: int) -> np.ndarray:
+        wav = to_mono(np.asarray(waveform, dtype=np.float32))
+        if sr != self.mel_cfg.sample_rate:
+            wav = resample(wav, sr, self.mel_cfg.sample_rate)
+        return wav
+
+    def _decode(self, windows: np.ndarray, dcfg: DecodeConfig) -> dict:
+        w = self.cfg.whisper
+        prompt = wdecode.build_prompt(w, dcfg)
+        mel = log_mel(jnp.asarray(windows), self.mel_cfg) \
+            .astype(self.compute_dtype)
+        enc = wm.encode(self.params["whisper"], w, mel)
+        out = wdecode.generate(self.params["whisper"], w, dcfg, enc,
+                               prompt=prompt)
+        out["prompt_len"] = len(prompt)
+        return out
+
+    def _text(self, tokens: np.ndarray, start: int, length: int) -> str:
+        if self.tokenizer is None:
+            return ""
+        ids = [int(t) for t in tokens[start:length]
+               if t < self.cfg.whisper.eos_token_id]
+        return self.tokenizer.decode(ids).strip()
+
+    # ------------------------------------------------------------------
+    def transcribe(self, waveform: np.ndarray, sr: int, *,
+                   max_new_tokens: int = 128) -> str:
+        """Full-clip transcription (reference inference.py:152-171:
+        greedy, repetition_penalty 1.15)."""
+        wav = self._prep(waveform, sr)
+        window = np.zeros((1, self._window), np.float32)
+        n = min(len(wav), self._window)
+        window[0, :n] = wav[:n]
+        dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
+                            repetition_penalty=1.15,
+                            no_repeat_ngram_size=3)
+        out = self._decode(window, dcfg)
+        tokens = np.asarray(out["tokens"])[0]
+        return self._text(tokens, out["prompt_len"],
+                          int(np.asarray(out["lengths"])[0]))
+
+    def analyze(self, waveform: np.ndarray, sr: int, *,
+                segment_duration: float = 5.0,
+                max_new_tokens: int = 64,
+                max_batch: int = 16) -> dict:
+        """Transcription + per-segment emotion probabilities (reference
+        perform_inference, inference.py:129-235; segment_duration=5 default
+        at inference.py:134)."""
+        wav = self._prep(waveform, sr)
+        sr = self.mel_cfg.sample_rate
+        transcription = self.transcribe(wav, sr)
+
+        seg_len = int(segment_duration * sr)
+        n_segs = max(1, math.ceil(len(wav) / seg_len))
+        # bucket the chunk-batch size to bound recompiles
+        bucket = 1
+        while bucket < min(n_segs, max_batch):
+            bucket *= 2
+
+        dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
+                            repetition_penalty=1.15,
+                            no_repeat_ngram_size=3)
+        segments: List[dict] = []
+        for start in range(0, n_segs, bucket):
+            idxs = list(range(start, min(start + bucket, n_segs)))
+            windows = np.zeros((bucket, self._window), np.float32)
+            for row, s in enumerate(idxs):
+                # chunks beyond the model window are truncated to it
+                # (whisper's fixed-window semantics)
+                chunk = wav[s * seg_len: (s + 1) * seg_len][: self._window]
+                windows[row, : len(chunk)] = chunk
+            out = self._decode(windows, dcfg)
+            logits = emo.sequence_emotion_from_hiddens(
+                self.params, out["hiddens"], out["lengths"])
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            tokens = np.asarray(out["tokens"])
+            lengths = np.asarray(out["lengths"])
+            for row, s in enumerate(idxs):
+                p = probs[row]
+                segments.append({
+                    "start": s * segment_duration,
+                    "end": min((s + 1) * segment_duration,
+                               len(wav) / sr),
+                    "text": self._text(tokens[row], out["prompt_len"],
+                                       int(lengths[row])),
+                    "emotion_probs": {self.idx_to_label.get(i, str(i)):
+                                      float(p[i]) for i in range(len(p))},
+                    "emotion": self.idx_to_label.get(int(p.argmax()),
+                                                     str(int(p.argmax()))),
+                })
+        return {"transcription": transcription, "segments": segments}
+
+
+def _loads_maybe(obj):
+    if isinstance(obj, str):
+        import json
+        return json.loads(obj)
+    return obj
+
+
+def self_test(duration: float = 12.0) -> dict:
+    """Synthesized sine+noise end-to-end smoke test, mirroring the
+    reference's __main__ self-test (inference.py:239-300)."""
+    from audio_transformers_tpu.utils.audio import synth_clip
+
+    cfg = EmotionWhisperConfig()
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    pipe = EmotionWhisperPipeline(params, cfg)
+    wav = synth_clip(duration, 16000)
+    return pipe.analyze(wav, 16000)

@@ -128,6 +128,25 @@ def config_from_hf(hf_config) -> WhisperConfig:
     )
 
 
+def config_from_json(d: dict) -> WhisperConfig:
+    """Build WhisperConfig from an HF-style config.json dict."""
+    return WhisperConfig(
+        vocab_size=d.get("vocab_size", 51865),
+        n_mels=d.get("num_mel_bins", 80),
+        d_model=d.get("d_model", 384),
+        encoder_layers=d.get("encoder_layers", 4),
+        decoder_layers=d.get("decoder_layers", 4),
+        num_heads=d.get("encoder_attention_heads", 6),
+        ffn_dim=d.get("encoder_ffn_dim", 1536),
+        max_source_positions=d.get("max_source_positions", 1500),
+        max_target_positions=d.get("max_target_positions", 448),
+        pad_token_id=d.get("pad_token_id", 50257),
+        bos_token_id=d.get("bos_token_id", 50257),
+        eos_token_id=d.get("eos_token_id", 50257),
+        decoder_start_token_id=d.get("decoder_start_token_id", 50258),
+    )
+
+
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
     return load_file(path)

@@ -1,0 +1,143 @@
+"""Zero-dependency serving: stdlib HTTP server on the JAX inference path.
+
+The reference serves through Streamlit (reference:
+whisper_finetune/streamlit_app.py:37-119: upload -> librosa.load ->
+perform_inference -> transcription + per-segment emotion bar charts).
+Streamlit isn't in this environment, so the first-party server is stdlib
+`http.server`: a JSON API (`POST /analyze` with a wav body) plus a small
+HTML page that renders the same transcription + per-segment emotion bars.
+`serve/app.py` provides the Streamlit variant when streamlit is installed.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>audio-transformers-tpu demo</title><style>
+body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
+.bar{height:14px;background:#4a7dbd;display:inline-block;vertical-align:middle}
+.seg{margin:1em 0;padding:.6em;border:1px solid #ddd;border-radius:6px}
+.lab{display:inline-block;width:120px;font-size:13px}
+blockquote{background:#f6f6f6;padding:.8em;border-left:4px solid #4a7dbd}
+</style></head><body>
+<h2>Audio Emotion Recognition + Transcription</h2>
+<p>Upload a wav file; the model transcribes it and estimates an emotion
+per %SEG%-second segment.</p>
+<input type="file" id="f" accept=".wav"/> <button onclick="go()">Analyze</button>
+<div id="out"></div>
+<script>
+async function go(){
+  const f=document.getElementById('f').files[0];
+  if(!f){alert('choose a wav file');return}
+  document.getElementById('out').innerHTML='<p>processing...</p>';
+  const r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
+  const d=await r.json();
+  let h='<h3>Transcription</h3><blockquote>'+(d.transcription||'(empty)')+
+        '</blockquote><h3>Segments</h3>';
+  for(const s of d.segments){
+    h+='<div class="seg"><b>'+s.start.toFixed(1)+'s - '+s.end.toFixed(1)+
+       's</b> &mdash; '+s.emotion+'<br/>';
+    const entries=Object.entries(s.emotion_probs).sort((a,b)=>b[1]-a[1]);
+    for(const [k,v] of entries){
+      h+='<span class="lab">'+k+'</span><span class="bar" style="width:'+
+         (v*300)+'px"></span> '+(v*100).toFixed(1)+'%<br/>';
+    }
+    h+='</div>';
+  }
+  document.getElementById('out').innerHTML=h;
+}
+</script></body></html>"""
+
+
+def _parse_wav(data: bytes):
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        audio = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        audio = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2**31
+    else:
+        audio = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+    if ch > 1:
+        audio = audio.reshape(-1, ch).mean(axis=1)
+    return audio, sr
+
+
+def make_handler(pipeline, segment_duration: float):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print(f"[serve] {fmt % args}")
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                page = _PAGE.replace("%SEG%", str(segment_duration))
+                self._send(200, page.encode(), "text/html")
+            elif self.path == "/health":
+                self._send(200, b'{"status":"ok"}', "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/analyze":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            try:
+                audio, sr = _parse_wav(data)
+            except Exception as e:
+                self._send(400, json.dumps(
+                    {"error": f"bad wav: {e}"}).encode(),
+                    "application/json")
+                return
+            result = pipeline.analyze(audio, sr,
+                                      segment_duration=segment_duration)
+            self._send(200, json.dumps(result).encode(), "application/json")
+
+    return Handler
+
+
+def serve(pipeline, *, host: str = "127.0.0.1", port: int = 8501,
+          segment_duration: float = 5.0):
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(pipeline, segment_duration))
+    print(f"[serve] listening on http://{host}:{port}")
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from audio_transformers_tpu.cli.infer import load_pipeline
+
+    p = argparse.ArgumentParser(description="Serve the emotion demo")
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--segment_duration", type=float, default=5.0)
+    args = p.parse_args(argv)
+    pipeline = load_pipeline(args)
+    serve(pipeline, host=args.host, port=args.port,
+          segment_duration=args.segment_duration)
+
+
+if __name__ == "__main__":
+    main()

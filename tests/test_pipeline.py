@@ -1,0 +1,217 @@
+"""Data splits, HF export round-trip, evaluation artifacts, inference
+pipeline, tokenizer."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
+                                                MelConfig, WhisperConfig)
+from audio_transformers_tpu.data.expresso import SyntheticExpresso
+from audio_transformers_tpu.data.splits import random_split, stratified_split
+from audio_transformers_tpu.data.tokenizer import ByteTokenizer
+from audio_transformers_tpu.infer.metrics import word_error_rate
+from audio_transformers_tpu.models.whisper import emotion as emo
+
+
+TINY = EmotionWhisperConfig(whisper=WhisperConfig.test(),
+                            num_emotion_classes=4)
+
+
+class TestSplits:
+    def test_stratified_every_class_everywhere(self):
+        rng = np.random.default_rng(0)
+        labels = rng.choice(["a", "b", "c"], 60).tolist()
+        tr, va, te = stratified_split(labels, seed=1)
+        assert sorted(tr + va + te) == sorted(range(60))
+        for split in (tr, va, te):
+            assert {labels[i] for i in split} == {"a", "b", "c"}
+
+    def test_stratified_reproducible(self):
+        labels = (["x"] * 20) + (["y"] * 30)
+        assert stratified_split(labels, seed=7) == \
+            stratified_split(labels, seed=7)
+        assert stratified_split(labels, seed=7) != \
+            stratified_split(labels, seed=8)
+
+    def test_random_split_seeded(self):
+        a = random_split(100, 0.2, seed=42)
+        b = random_split(100, 0.2, seed=42)
+        assert a == b
+        assert len(a[1]) == 20 and len(a[0]) == 80
+
+
+class TestTokenizer:
+    def test_byte_roundtrip(self):
+        tok = ByteTokenizer()
+        text = "hello, wörld!"
+        assert tok.decode(tok.encode(text)) == text
+
+    def test_specials_stripped(self):
+        tok = ByteTokenizer()
+        ids = tok.with_specials(tok.encode("abc"))
+        assert ids[0] == tok.decoder_start_token_id
+        assert ids[-1] == tok.eos_token_id
+        assert tok.decode(ids) == "abc"
+
+
+def test_wer():
+    assert word_error_rate(["the cat sat"], ["the cat sat"]) == 0.0
+    assert word_error_rate(["the cat sat"], ["the dog sat"]) == \
+        pytest.approx(1 / 3)
+    assert word_error_rate(["a b"], [""]) == 1.0
+
+
+class TestHFExportRoundtrip:
+    def test_state_dict_roundtrip_identity(self):
+        from audio_transformers_tpu.models.whisper.load import (
+            from_torch_state_dict)
+        from audio_transformers_tpu.utils.hub import to_torch_state_dict
+
+        params = emo.init(jax.random.PRNGKey(0), TINY)
+        sd = to_torch_state_dict(params, TINY)
+        back, emotion = from_torch_state_dict(sd, TINY.whisper)
+        flat1 = jax.tree_util.tree_leaves_with_path(params["whisper"])
+        flat2 = jax.tree_util.tree_leaves_with_path(back)
+        assert len(flat1) == len(flat2)
+        for (p1, a), (p2, b) in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=str(p1))
+        np.testing.assert_allclose(np.asarray(params["emotion_head"]["w"]),
+                                   np.asarray(emotion["w"]), rtol=1e-6)
+
+    def test_export_dir_and_pipeline_load(self, tmp_path):
+        from audio_transformers_tpu.infer.pipeline import (
+            EmotionWhisperPipeline)
+        from audio_transformers_tpu.utils.hub import export_hf_dir
+
+        params = emo.init(jax.random.PRNGKey(1), TINY)
+        out = export_hf_dir(params, TINY, str(tmp_path / "hf"),
+                            style_to_idx={"happy": 0, "sad": 1,
+                                          "calm": 2, "angry": 3},
+                            val_loss=1.23)
+        assert os.path.exists(os.path.join(out, "model.safetensors"))
+        assert os.path.exists(os.path.join(out, "config.json"))
+        assert os.path.exists(os.path.join(out, "generation_config.json"))
+        assert os.path.exists(os.path.join(out, "style_to_id.txt"))
+        assert os.path.exists(os.path.join(out, "README.md"))
+
+        pipe = EmotionWhisperPipeline.from_hf_dir(
+            out, num_emotion_classes=4)
+        # loaded pipeline must produce identical emotion head weights
+        np.testing.assert_allclose(
+            np.asarray(pipe.params["emotion_head"]["w"]),
+            np.asarray(params["emotion_head"]["w"]), rtol=1e-6)
+        assert pipe.idx_to_label[0] == "happy"
+
+    def test_reference_loader_compat(self, tmp_path):
+        """The exported state dict loads into an HF torch whisper (the
+        reference's wrapped model) without missing/unexpected keys."""
+        import torch
+        from transformers import WhisperConfig as HFConfig
+        from transformers import WhisperForConditionalGeneration
+
+        params = emo.init(jax.random.PRNGKey(2), TINY)
+        from audio_transformers_tpu.utils.hub import to_torch_state_dict
+        sd = to_torch_state_dict(params, TINY, wrapper_prefix="")
+        w = TINY.whisper
+        hf_cfg = HFConfig(
+            vocab_size=w.vocab_size, num_mel_bins=w.n_mels,
+            d_model=w.d_model, encoder_layers=w.encoder_layers,
+            decoder_layers=w.decoder_layers,
+            encoder_attention_heads=w.num_heads,
+            decoder_attention_heads=w.num_heads,
+            encoder_ffn_dim=w.ffn_dim, decoder_ffn_dim=w.ffn_dim,
+            max_source_positions=w.max_source_positions,
+            max_target_positions=w.max_target_positions,
+            pad_token_id=w.pad_token_id, bos_token_id=w.bos_token_id,
+            eos_token_id=w.eos_token_id,
+            decoder_start_token_id=w.decoder_start_token_id)
+        tm = WhisperForConditionalGeneration(hf_cfg)
+        tsd = {k: torch.from_numpy(v) for k, v in sd.items()
+               if not k.startswith("emotion_classifier")}
+        missing, unexpected = tm.load_state_dict(tsd, strict=False)
+        assert not unexpected, unexpected
+        # proj_out tied in HF too; embed_positions etc all covered
+        assert not [m for m in missing if "proj_out" not in m], missing
+
+
+class TestEvalAndInference:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        tok = ByteTokenizer()
+        mel_cfg = MelConfig.whisper()
+        w = TINY.whisper
+        duration = (2 * w.max_source_positions) * mel_cfg.hop_length \
+            / mel_cfg.sample_rate
+        ds = SyntheticExpresso(tok, num_samples=12,
+                               styles=["happy", "sad", "calm", "angry"],
+                               duration=duration, max_label_len=10,
+                               vocab_size=w.vocab_size)
+        params = emo.init(jax.random.PRNGKey(0), TINY)
+        return tok, mel_cfg, ds, params
+
+    def test_sequence_eval_artifacts(self, setup, tmp_path):
+        from audio_transformers_tpu.core.config import DecodeConfig
+        from audio_transformers_tpu.infer.evaluate import (
+            evaluate_sequence_level)
+
+        tok, mel_cfg, ds, params = setup
+        _, _, test_ds, style_to_idx = ds.splits()
+        idx_to_style = {v: k for k, v in style_to_idx.items()}
+        dcfg = DecodeConfig(max_new_tokens=8, no_repeat_ngram_size=3,
+                            repetition_penalty=1.15)
+        res = evaluate_sequence_level(
+            params, TINY, mel_cfg, test_ds.batcher(4), idx_to_style,
+            tokenizer=tok, output_dir=str(tmp_path), dcfg=dcfg,
+            compute_dtype=jnp.float32)
+        assert res["samples"] == test_ds.num_samples
+        mtxt = open(tmp_path / "metrics.txt").read()
+        assert mtxt.startswith(f"samples\t{res['samples']}\n")
+        assert "accuracy\t" in mtxt and "weighted_f1\t" in mtxt
+        lines = open(tmp_path / "predictions.txt").read().strip().split("\n")
+        assert len(lines) == res["samples"]
+        assert all(len(line.split("\t")) == 4 for line in lines)
+
+    def test_segment_eval_artifacts(self, setup, tmp_path):
+        from audio_transformers_tpu.core.config import DecodeConfig
+        from audio_transformers_tpu.infer.evaluate import (
+            evaluate_segment_level)
+
+        tok, mel_cfg, ds, params = setup
+        _, _, test_ds, style_to_idx = ds.splits()
+        idx_to_style = {v: k for k, v in style_to_idx.items()}
+        dcfg = DecodeConfig(max_new_tokens=10, return_timestamps=True,
+                            no_repeat_ngram_size=3,
+                            repetition_penalty=1.1)
+        res = evaluate_segment_level(
+            params, TINY, mel_cfg, test_ds.batcher(4), idx_to_style,
+            output_dir=str(tmp_path), dcfg=dcfg, max_segments=4,
+            compute_dtype=jnp.float32)
+        assert res["total_segments"] >= test_ds.num_samples
+        body = open(tmp_path / "segment_evaluation.txt").read()
+        assert body.startswith("Total segments evaluated:")
+        assert "Classification Report" in body
+
+    def test_pipeline_analyze(self, setup):
+        from audio_transformers_tpu.infer.pipeline import (
+            EmotionWhisperPipeline)
+        from audio_transformers_tpu.utils.audio import synth_clip
+
+        tok, mel_cfg, ds, params = setup
+        pipe = EmotionWhisperPipeline(
+            params, TINY, mel_cfg,
+            idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+            tokenizer=tok, compute_dtype=jnp.float32)
+        wav = synth_clip(3.2, 16000)
+        out = pipe.analyze(wav, 16000, segment_duration=1.0,
+                           max_new_tokens=6)
+        assert isinstance(out["transcription"], str)
+        assert len(out["segments"]) == 4  # ceil(3.2 / 1.0)
+        seg = out["segments"][0]
+        assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
+        assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
