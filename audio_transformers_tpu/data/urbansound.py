@@ -60,11 +60,16 @@ class UrbanSoundHFSource:
 
 
 class UrbanSoundLocalSource:
-    """wav-file directory + metadata csv (UrbanSound8K on-disk layout)."""
+    """wav-file directory + metadata csv (UrbanSound8K on-disk layout).
+
+    Uses the native C++ loader (native/audiodec via data/native_loader) for
+    decode+resample when built — the equivalent of the reference's C++
+    DataLoader-worker tier — with a pure-numpy fallback."""
 
     def __init__(self, data_dir: str, metadata_csv: Optional[str] = None, *,
                  sample_rate: int = SAMPLE_RATE, duration: float = DURATION,
-                 limit_samples: Optional[int] = None):
+                 limit_samples: Optional[int] = None,
+                 use_native: Optional[bool] = None):
         self.data_dir = data_dir
         meta = metadata_csv or os.path.join(data_dir, "metadata.csv")
         self.rows: List[Tuple[str, int]] = []
@@ -77,6 +82,10 @@ class UrbanSoundLocalSource:
             self.rows = self.rows[:limit_samples]
         self.sample_rate = sample_rate
         self.duration = duration
+        if use_native is None:
+            from audio_transformers_tpu.data import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native
 
     @property
     def num_samples(self) -> int:
@@ -88,9 +97,22 @@ class UrbanSoundLocalSource:
     def __call__(self, i: int) -> Dict[str, np.ndarray]:
         name, label = self.rows[int(i)]
         path = os.path.join(self.data_dir, name)
-        audio, sr = read_wav(path)
-        wav = preprocess_clip(audio, sr, target_sr=self.sample_rate,
-                              duration=self.duration)
+        if self.use_native:
+            from audio_transformers_tpu.data import native_loader as nl
+            with open(path, "rb") as f:
+                audio, sr = nl.decode_wav(f.read())
+            if sr != self.sample_rate:
+                audio = nl.resample(audio, sr, self.sample_rate)
+            wav = np.zeros(int(self.sample_rate * self.duration), np.float32)
+            n = min(len(audio), len(wav))
+            wav[:n] = audio[:n]
+            peak = np.abs(wav).max()
+            if peak > 0:
+                wav /= peak
+        else:
+            audio, sr = read_wav(path)
+            wav = preprocess_clip(audio, sr, target_sr=self.sample_rate,
+                                  duration=self.duration)
         return {"waveform": wav, "label": np.int32(label)}
 
 

@@ -1,0 +1,333 @@
+/* audiodec implementation. See audiodec.h for the component contract. */
+
+#include "audiodec.h"
+
+#include <algorithm>
+#include <cmath>
+#include <condition_variable>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <numeric>
+#include <string>
+#include <thread>
+#include <vector>
+
+/* ---- wav decoding ------------------------------------------------------- */
+
+static uint32_t rd_u32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[3] << 24);
+}
+static uint16_t rd_u16(const uint8_t* p) {
+    return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+int64_t adc_decode_wav(const uint8_t* data, size_t size, float* out,
+                       int64_t out_capacity, int32_t* sample_rate_out) {
+    if (size < 44 || memcmp(data, "RIFF", 4) || memcmp(data + 8, "WAVE", 4))
+        return -1;
+    size_t pos = 12;
+    uint16_t fmt = 0, channels = 0, bits = 0;
+    int32_t rate = 0;
+    const uint8_t* pcm = nullptr;
+    size_t pcm_size = 0;
+    while (pos + 8 <= size) {
+        const uint8_t* hdr = data + pos;
+        uint32_t chunk_size = rd_u32(hdr + 4);
+        const uint8_t* body = hdr + 8;
+        if (!memcmp(hdr, "fmt ", 4) && chunk_size >= 16) {
+            fmt = rd_u16(body);
+            channels = rd_u16(body + 2);
+            rate = (int32_t)rd_u32(body + 4);
+            bits = rd_u16(body + 14);
+        } else if (!memcmp(hdr, "data", 4)) {
+            pcm = body;
+            pcm_size = std::min((size_t)chunk_size, size - (pos + 8));
+        }
+        pos += 8 + chunk_size + (chunk_size & 1);
+    }
+    if (!pcm || !channels || !rate) return -1;
+    if (fmt != 1 && fmt != 3) return -1; /* PCM or IEEE float */
+
+    size_t bytes_per = bits / 8;
+    if (!bytes_per) return -1;
+    int64_t frames = (int64_t)(pcm_size / (bytes_per * channels));
+    int64_t n = std::min(frames, out_capacity);
+    for (int64_t i = 0; i < n; i++) {
+        double acc = 0.0;
+        for (int c = 0; c < channels; c++) {
+            const uint8_t* s = pcm + (i * channels + c) * bytes_per;
+            double v = 0.0;
+            if (fmt == 3 && bits == 32) {
+                float f;
+                memcpy(&f, s, 4);
+                v = f;
+            } else if (bits == 16) {
+                int16_t x = (int16_t)rd_u16(s);
+                v = x / 32768.0;
+            } else if (bits == 32) {
+                int32_t x = (int32_t)rd_u32(s);
+                v = x / 2147483648.0;
+            } else if (bits == 24) {
+                int32_t x = (int32_t)((uint32_t)s[0] << 8 |
+                                      (uint32_t)s[1] << 16 |
+                                      (uint32_t)s[2] << 24);
+                v = (x >> 8) / 8388608.0;
+            } else if (bits == 8) {
+                v = ((int)s[0] - 128) / 128.0;
+            } else {
+                return -1;
+            }
+            acc += v;
+        }
+        out[i] = (float)(acc / channels);
+    }
+    if (sample_rate_out) *sample_rate_out = rate;
+    return n;
+}
+
+/* ---- resampling --------------------------------------------------------- */
+
+static double bessel_i0(double x) {
+    /* series expansion, converges fast for the beta range we use */
+    double sum = 1.0, term = 1.0;
+    double hx = x / 2.0;
+    for (int k = 1; k < 64; k++) {
+        term *= (hx / k) * (hx / k);
+        sum += term;
+        if (term < 1e-16 * sum) break;
+    }
+    return sum;
+}
+
+struct ResampleFilter {
+    std::vector<double> h;
+    int up, down, half_len;
+};
+
+/* scipy.signal.resample_poly-compatible filter: firwin(2*half+1, fc,
+ * kaiser(5.0)) * up, half = 10*max(up,down), fc = 1/max(up,down) of the
+ * upsampled Nyquist. */
+static ResampleFilter design_filter(int in_rate, int out_rate) {
+    int g = (int)std::gcd(in_rate, out_rate);
+    int up = out_rate / g, down = in_rate / g;
+    int m = std::max(up, down);
+    int half = 10 * m;
+    int taps = 2 * half + 1;
+    double fc = 1.0 / m; /* normalized to Nyquist of upsampled signal */
+    double beta = 5.0;
+    std::vector<double> h(taps);
+    double i0b = bessel_i0(beta);
+    double sum = 0.0;
+    for (int i = 0; i < taps; i++) {
+        double t = i - half;
+        double sinc = (t == 0.0) ? 1.0
+                                 : std::sin(M_PI * fc * t) / (M_PI * fc * t);
+        double r = t / half;
+        double w = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r)))
+                   / i0b;
+        h[i] = fc * sinc * w;
+        sum += h[i];
+    }
+    /* firwin normalizes DC gain to 1, then resample_poly scales by up */
+    for (auto& v : h) v = v / sum * up;
+    return {std::move(h), up, down, half};
+}
+
+int64_t adc_resample_out_len(int64_t in_len, int32_t in_rate,
+                             int32_t out_rate) {
+    if (in_rate == out_rate) return in_len;
+    int64_t g = std::gcd((int64_t)in_rate, (int64_t)out_rate);
+    int64_t up = out_rate / g, down = in_rate / g;
+    return (in_len * up + down - 1) / down;
+}
+
+int64_t adc_resample(const float* in, int64_t in_len, int32_t in_rate,
+                     int32_t out_rate, float* out, int64_t out_capacity) {
+    if (in_rate == out_rate) {
+        int64_t n = std::min(in_len, out_capacity);
+        memcpy(out, in, (size_t)n * sizeof(float));
+        return n;
+    }
+    ResampleFilter f = design_filter(in_rate, out_rate);
+    int64_t n_out = adc_resample_out_len(in_len, in_rate, out_rate);
+    n_out = std::min(n_out, out_capacity);
+    int64_t taps = (int64_t)f.h.size();
+    for (int64_t n = 0; n < n_out; n++) {
+        /* output n sits at upsampled index n*down; filter centered there */
+        int64_t base = n * (int64_t)f.down + f.half_len;
+        /* j = base - k*up must satisfy 0 <= j < taps */
+        int64_t k_min = (base - (taps - 1) + f.up - 1) / f.up;
+        if (k_min < 0) k_min = 0;
+        int64_t k_max = base / f.up;
+        if (k_max > in_len - 1) k_max = in_len - 1;
+        double acc = 0.0;
+        for (int64_t k = k_min; k <= k_max; k++) {
+            acc += f.h[base - k * f.up] * (double)in[k];
+        }
+        out[n] = (float)acc;
+    }
+    return n_out;
+}
+
+/* ---- clip preprocessing -------------------------------------------------- */
+
+void adc_pad_normalize(const float* in, int64_t in_len, float* out,
+                       int64_t target_len, int normalize) {
+    int64_t n = std::min(in_len, target_len);
+    memcpy(out, in, (size_t)n * sizeof(float));
+    if (n < target_len)
+        memset(out + n, 0, (size_t)(target_len - n) * sizeof(float));
+    if (normalize) {
+        float peak = 0.0f;
+        for (int64_t i = 0; i < n; i++) peak = std::max(peak, std::fabs(out[i]));
+        if (peak > 0.0f) {
+            float inv = 1.0f / peak;
+            for (int64_t i = 0; i < n; i++) out[i] *= inv;
+        }
+    }
+}
+
+/* ---- prefetch pool ------------------------------------------------------- */
+
+struct PoolItem {
+    std::string path;
+    int64_t tag;
+    int64_t seq;
+};
+
+struct PoolResult {
+    std::vector<float> clip;
+    int64_t tag;
+    int ok;
+};
+
+struct adc_pool {
+    int32_t target_rate;
+    int64_t target_len;
+    int normalize;
+    int capacity;
+
+    std::mutex mu;
+    std::condition_variable cv_work, cv_done;
+    std::deque<PoolItem> work;
+    std::map<int64_t, PoolResult> done;
+    int64_t next_submit = 0, next_pop = 0;
+    bool shutdown = false;
+    std::vector<std::thread> threads;
+
+    void worker() {
+        std::vector<uint8_t> file_buf;
+        std::vector<float> decode_buf, resamp_buf;
+        for (;;) {
+            PoolItem item;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_work.wait(lk, [&] { return shutdown || !work.empty(); });
+                if (shutdown && work.empty()) return;
+                item = work.front();
+                work.pop_front();
+            }
+            PoolResult res;
+            res.tag = item.tag;
+            res.ok = -1;
+            res.clip.assign((size_t)target_len, 0.0f);
+
+            FILE* fp = fopen(item.path.c_str(), "rb");
+            if (fp) {
+                fseek(fp, 0, SEEK_END);
+                long fsize = ftell(fp);
+                fseek(fp, 0, SEEK_SET);
+                file_buf.resize((size_t)fsize);
+                if (fread(file_buf.data(), 1, (size_t)fsize, fp) ==
+                    (size_t)fsize) {
+                    int32_t rate = 0;
+                    /* generous decode capacity: 10 minutes at 48 kHz */
+                    decode_buf.resize(48000u * 600u);
+                    int64_t n = adc_decode_wav(file_buf.data(), file_buf.size(),
+                                               decode_buf.data(),
+                                               (int64_t)decode_buf.size(),
+                                               &rate);
+                    if (n > 0) {
+                        const float* src = decode_buf.data();
+                        int64_t src_len = n;
+                        if (rate != target_rate) {
+                            resamp_buf.resize((size_t)adc_resample_out_len(
+                                n, rate, target_rate));
+                            src_len = adc_resample(decode_buf.data(), n, rate,
+                                                   target_rate,
+                                                   resamp_buf.data(),
+                                                   (int64_t)resamp_buf.size());
+                            src = resamp_buf.data();
+                        }
+                        adc_pad_normalize(src, src_len, res.clip.data(),
+                                          target_len, normalize);
+                        res.ok = 0;
+                    }
+                }
+                fclose(fp);
+            }
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                done.emplace(item.seq, std::move(res));
+            }
+            cv_done.notify_all();
+        }
+    }
+};
+
+adc_pool* adc_pool_create(int num_threads, int32_t target_rate,
+                          int64_t target_len, int normalize, int capacity) {
+    auto* p = new adc_pool();
+    p->target_rate = target_rate;
+    p->target_len = target_len;
+    p->normalize = normalize;
+    p->capacity = capacity > 0 ? capacity : 64;
+    int n = num_threads > 0 ? num_threads : 1;
+    for (int i = 0; i < n; i++)
+        p->threads.emplace_back([p] { p->worker(); });
+    return p;
+}
+
+int adc_pool_submit(adc_pool* p, const char* path, int64_t tag) {
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        if ((int)(p->next_submit - p->next_pop) >= p->capacity) return -1;
+        p->work.push_back({path, tag, p->next_submit});
+        p->next_submit++;
+    }
+    p->cv_work.notify_one();
+    return 0;
+}
+
+int adc_pool_pop(adc_pool* p, float* out, int64_t* tag_out) {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->next_pop >= p->next_submit) return -2;
+    int64_t seq = p->next_pop;
+    p->cv_done.wait(lk, [&] { return p->done.count(seq) > 0; });
+    PoolResult res = std::move(p->done[seq]);
+    p->done.erase(seq);
+    p->next_pop++;
+    lk.unlock();
+    memcpy(out, res.clip.data(), (size_t)p->target_len * sizeof(float));
+    if (tag_out) *tag_out = res.tag;
+    return res.ok;
+}
+
+int adc_pool_pending(adc_pool* p) {
+    std::lock_guard<std::mutex> lk(p->mu);
+    return (int)(p->next_submit - p->next_pop);
+}
+
+void adc_pool_destroy(adc_pool* p) {
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->shutdown = true;
+    }
+    p->cv_work.notify_all();
+    for (auto& t : p->threads) t.join();
+    delete p;
+}
