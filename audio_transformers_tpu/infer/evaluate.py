@@ -38,7 +38,7 @@ def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
                   dcfg: DecodeConfig, waveform, prompt, compute_dtype):
     w = cfg.whisper
     mel = log_mel(jnp.asarray(waveform), mel_cfg).astype(compute_dtype)
-    enc = wm.encode(params["whisper"], w, mel)
+    enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
     out = wdecode.generate(params["whisper"], w, dcfg, enc, prompt=prompt)
     return out
 

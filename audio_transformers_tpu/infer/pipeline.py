@@ -140,7 +140,8 @@ class EmotionWhisperPipeline:
         prompt = wdecode.build_prompt(w, dcfg)
         mel = log_mel(jnp.asarray(windows), self.mel_cfg) \
             .astype(self.compute_dtype)
-        enc = wm.encode(self.params["whisper"], w, mel)
+        enc = wm.encode_jit(self.params["whisper"], w, mel,
+                            attn_impl="auto")
         out = wdecode.generate(self.params["whisper"], w, dcfg, enc,
                                prompt=prompt)
         out["prompt_len"] = len(prompt)

@@ -1,4 +1,5 @@
 from audio_transformers_tpu.models.whisper.model import (  # noqa: F401
+    encode_jit,
     apply_decoder,
     apply_decoder_step,
     encode,

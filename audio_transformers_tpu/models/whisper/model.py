@@ -87,19 +87,24 @@ def init(key: jax.Array, cfg: WhisperConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _self_block(p: dict, x: jax.Array, heads: int,
-                mask: Optional[jax.Array]) -> jax.Array:
+def _self_block(p: dict, x: jax.Array, heads: int, impl: str) -> jax.Array:
     h = nn.layer_norm(p["self_ln"], x)
     x = x + nn.multihead_attention(p["self_attn"], h, h, num_heads=heads,
-                                   mask=mask)
+                                   impl=impl)
     h = nn.layer_norm(p["mlp_ln"], x)
     x = x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
     return x
 
 
 def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
-           remat: bool = False) -> jax.Array:
-    """mel: (B, T_mel, n_mels) -> encoder states (B, T_mel//2, d_model)."""
+           remat: bool = False, attn_impl: str = "xla") -> jax.Array:
+    """mel: (B, T_mel, n_mels) -> encoder states (B, T_mel//2, d_model).
+
+    attn_impl: "xla" (differentiable; training) | "flash" (fused Pallas
+    kernel, forward-only; inference) | "auto" (flash on TPU, else xla).
+    """
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     p = params["encoder"]
     x = nn.gelu(nn.conv1d(p["conv1"], mel, padding=1))
     x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
@@ -107,9 +112,9 @@ def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
     x = x + p["pos"][None, :t, :].astype(x.dtype)
     block = _self_block
     if remat:
-        block = jax.checkpoint(_self_block, static_argnums=(2,))
+        block = jax.checkpoint(_self_block, static_argnums=(2, 3))
     for bp in p["blocks"]:
-        x = block(bp, x, cfg.num_heads, None)
+        x = block(bp, x, cfg.num_heads, attn_impl)
     return nn.layer_norm(p["ln"], x)
 
 
@@ -151,6 +156,9 @@ def apply_decoder(params: dict, cfg: WhisperConfig, enc: jax.Array,
     for bp in p["blocks"]:
         x = block(bp, x, enc, cfg.num_heads, mask)
     return nn.layer_norm(p["ln"], x)
+
+
+encode_jit = jax.jit(encode, static_argnames=("cfg", "remat", "attn_impl"))
 
 
 def logits_from_hidden(params: dict, hidden: jax.Array) -> jax.Array:

@@ -244,14 +244,28 @@ def merge_heads(x: Array) -> Array:
 
 
 def multihead_attention(params: dict, q_in: Array, kv_in: Array, *,
-                        num_heads: int, mask: Optional[Array] = None) -> Array:
-    """Self- or cross-attention. q_in (B,Tq,D); kv_in (B,Tk,D)."""
+                        num_heads: int, mask: Optional[Array] = None,
+                        impl: str = "xla", causal: bool = False) -> Array:
+    """Self- or cross-attention. q_in (B,Tq,D); kv_in (B,Tk,D).
+
+    impl="flash" uses the fused Pallas kernel (forward-only; inference
+    paths) — it supports no mask beyond `causal`. impl="xla" is the
+    differentiable unfused path (training).
+    """
     q = split_heads(linear(params["q"], q_in), num_heads)
     k = split_heads(linear(params["k"], kv_in), num_heads)
     v = split_heads(linear(params["v"], kv_in), num_heads)
-    probs = attention_weights(q, k, mask=mask)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(q_in.dtype)
+    if impl == "flash":
+        assert mask is None, "flash path supports only causal masking"
+        from audio_transformers_tpu.ops.attention import flash_attention
+        out = flash_attention(q, k, v, causal=causal)
+    else:
+        if causal and mask is None:
+            mask = causal_mask(q_in.shape[1])
+        probs = attention_weights(q, k, mask=mask)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32
+                         ).astype(q_in.dtype)
     return linear(params["o"], merge_heads(out))
 
 

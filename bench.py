@@ -41,7 +41,7 @@ def main():
     dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
                         repetition_penalty=1.15)
 
-    batch = 32 if on_tpu else 2
+    batch = 64 if on_tpu else 2
     clip_secs = 30.0
     rng = np.random.default_rng(0)
     waveform = jnp.asarray(
@@ -55,7 +55,7 @@ def main():
 
     def pipeline(params, waveform):
         mel = log_mel(waveform, mel_cfg).astype(compute)
-        enc = wm.encode(params["whisper"], w, mel)
+        enc = wm.encode(params["whisper"], w, mel, attn_impl="auto")
         out = wdecode.generate(params["whisper"], w, dcfg, enc,
                                prompt=prompt)
         emotion = emo.sequence_emotion_from_hiddens(

@@ -1,0 +1,48 @@
+"""Flash-attention kernel parity tests (interpret mode on CPU; exercised
+compiled on real TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.ops.attention import (attention_reference,
+                                                  flash_attention)
+
+
+def _qkv(b, h, tq, tk, d, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.standard_normal((b, h, tq, d)).astype(dtype)),
+            jnp.asarray(rng.standard_normal((b, h, tk, d)).astype(dtype)),
+            jnp.asarray(rng.standard_normal((b, h, tk, d)).astype(dtype)))
+
+
+@pytest.mark.parametrize("tq,tk,causal", [
+    (256, 256, False),
+    (300, 300, False),     # non-multiple of block -> padding + masking
+    (128, 384, False),     # cross-attention shape
+    (256, 256, True),
+    (200, 200, True),
+])
+def test_flash_matches_reference(tq, tk, causal):
+    q, k, v = _qkv(2, 3, tq, tk, 64, seed=tq + tk)
+    got = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    want = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_in_encoder_matches_xla():
+    from audio_transformers_tpu.core.config import WhisperConfig
+    from audio_transformers_tpu.models import whisper as wm
+
+    cfg = WhisperConfig.test()
+    params = wm.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.n_mels)).astype(np.float32))
+    a = wm.encode(params, cfg, mel, attn_impl="xla")
+    b = wm.encode(params, cfg, mel, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-5)
