@@ -50,7 +50,10 @@ def load_pipeline(args):
 def main(argv=None):
     args = parse_args(argv)
 
+    from audio_transformers_tpu.core.profiling import enable_compilation_cache
     from audio_transformers_tpu.utils.audio import read_wav, synth_clip
+
+    enable_compilation_cache()
 
     pipe = load_pipeline(args)
     if args.audio:

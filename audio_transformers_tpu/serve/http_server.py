@@ -134,6 +134,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--segment_duration", type=float, default=5.0)
     args = p.parse_args(argv)
+    from audio_transformers_tpu.core.profiling import enable_compilation_cache
+    enable_compilation_cache()
     pipeline = load_pipeline(args)
     serve(pipeline, host=args.host, port=args.port,
           segment_duration=args.segment_duration)

@@ -112,14 +112,32 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
                          max_to_keep=train_cfg.keep_checkpoints,
                          best_mode="max")
             if train_cfg.checkpoint_dir else None)
+    resume_ckpt = (Checkpointer(train_cfg.checkpoint_dir + "-resume",
+                                max_to_keep=1)
+                   if train_cfg.checkpoint_dir else None)
     log = logger or MetricLogger(log_dir=log_dir, wandb_project=wandb_project,
                                  config={"model": model_cfg.to_json(),
                                          "train": train_cfg.to_json()})
 
     best_val_acc, history = -1.0, []
     step = 0
+    start_epoch = 0
+    if resume_ckpt is not None and resume_ckpt.latest_step() is not None:
+        tree, meta, rstep = resume_ckpt.restore(
+            like={"params": params, "state": state, "opt_state": opt_state})
+        params = jax.device_put(tree["params"], replicated(mesh))
+        state = jax.device_put(tree["state"], replicated(mesh))
+        opt_state = jax.device_put(tree["opt_state"], replicated(mesh))
+        start_epoch = (meta or {}).get("epoch", 0)
+        best_val_acc = (meta or {}).get("best_val_acc", -1.0)
+        step = rstep
+        if plateau is not None and meta:
+            plateau.best = meta.get("plateau_best", plateau.best)
+            plateau.lr = meta.get("plateau_lr", plateau.lr)
+        print(f"[train] resumed from epoch {start_epoch} (step {step})")
+
     timer = StepTimer()
-    for epoch in range(train_cfg.num_epochs):
+    for epoch in range(start_epoch, train_cfg.num_epochs):
         ep_loss, ep_acc, n_batches = 0.0, 0.0, 0
         for batch in train_batcher.train_epochs(epoch=epoch):
             rng, step_key = jax.random.split(rng)
@@ -163,9 +181,20 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
                                     "epoch": epoch + 1,
                                     "val_accuracy": val["accuracy"]},
                           best_metric=val["accuracy"])
+        if resume_ckpt is not None:
+            resume_ckpt.save(
+                step, {"params": params, "state": state,
+                       "opt_state": opt_state},
+                metadata={"epoch": epoch + 1,
+                          "best_val_acc": best_val_acc,
+                          **({"plateau_best": plateau.best,
+                              "plateau_lr": plateau.lr}
+                             if plateau is not None else {})})
 
     if ckpt is not None:
         ckpt.close()
+    if resume_ckpt is not None:
+        resume_ckpt.close()
     log.finish()
     return {"params": params, "state": state, "opt_state": opt_state,
             "history": history, "best_val_accuracy": best_val_acc}

@@ -151,6 +151,10 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     ckpt = (Checkpointer(os.path.join(output_dir, "checkpoints"),
                          max_to_keep=train_cfg.keep_checkpoints,
                          best_mode="min") if output_dir else None)
+    # full training state for resume (the reference can only save, never
+    # resume — SURVEY.md §5 checkpoint/resume)
+    resume_ckpt = (Checkpointer(os.path.join(output_dir, "resume"),
+                                max_to_keep=1) if output_dir else None)
     log = logger or MetricLogger(
         log_dir=output_dir, wandb_project=wandb_project,
         config={"cfg": cfg.to_json(), "train": train_cfg.to_json()})
@@ -158,8 +162,20 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     best_val_loss = float("inf")
     history = []
     step = 0
+    start_epoch = 0
+    if resume_ckpt is not None and resume_ckpt.latest_step() is not None:
+        tree, meta, rstep = resume_ckpt.restore(
+            like={"params": params, "opt_state": opt_state})
+        params, opt_state = tree["params"], tree["opt_state"]
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        start_epoch = (meta or {}).get("epoch", 0)
+        best_val_loss = (meta or {}).get("best_val_loss", float("inf"))
+        step = rstep
+        print(f"[train] resumed from epoch {start_epoch} (step {step})")
+
     timer = StepTimer()
-    for epoch in range(train_cfg.num_epochs):
+    for epoch in range(start_epoch, train_cfg.num_epochs):
         acc = {"loss": 0.0, "transcription_loss": 0.0, "emotion_loss": 0.0,
                "emotion_accuracy": 0.0}
         n = 0
@@ -194,9 +210,16 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
                                     "val_loss": val["loss"],
                                     "style_to_idx": style_to_idx},
                           best_metric=val["loss"])
+        if resume_ckpt is not None:
+            resume_ckpt.save(step, {"params": params,
+                                    "opt_state": opt_state},
+                             metadata={"epoch": epoch + 1,
+                                       "best_val_loss": best_val_loss})
 
     if ckpt is not None:
         ckpt.close()
+    if resume_ckpt is not None:
+        resume_ckpt.close()
     log.finish()
     return {"params": params, "opt_state": opt_state, "history": history,
             "best_val_loss": best_val_loss}

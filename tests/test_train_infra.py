@@ -1,0 +1,125 @@
+"""Training-infrastructure tests: checkpoint resume, specaugment,
+profiling, optimizer schedules, distributed helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import (MelConfig, OptimizerConfig,
+                                                TrainConfig,
+                                                UrbanSoundConfig)
+from audio_transformers_tpu.data.synthetic import SyntheticClassification
+
+
+SMALL = UrbanSoundConfig(n_mels=64, num_classes=4, conv_dim=24,
+                         encoder_dim=24, num_encoder_blocks=1, num_heads=2,
+                         dropout=0.0, cnn_dims=(24,))
+
+
+def _cfgs(tmp, epochs):
+    return TrainConfig(
+        batch_size=8, num_epochs=epochs, compute_dtype="float32",
+        optimizer=OptimizerConfig(name="adam", learning_rate=1e-3,
+                                  schedule="constant"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        mesh_shape=(("data", 1),))
+
+
+def test_classifier_resume(tmp_path):
+    from audio_transformers_tpu.train.classifier import train_classifier
+
+    mel_cfg = MelConfig.urbansound()
+    ds_t = SyntheticClassification(num_samples=16, num_classes=4,
+                                   duration=1.0, seed=1)
+    ds_v = SyntheticClassification(num_samples=8, num_classes=4,
+                                   duration=1.0, seed=2)
+    tmp = str(tmp_path)
+
+    # run 2 epochs, then "crash"; resume run continues to 4
+    out1 = train_classifier(SMALL, mel_cfg, _cfgs(tmp, 2),
+                            ds_t.batcher(8), ds_v.batcher(8))
+    out2 = train_classifier(SMALL, mel_cfg, _cfgs(tmp, 4),
+                            ds_t.batcher(8), ds_v.batcher(8))
+    # resumed run trained only epochs 3..4
+    assert [r["epoch"] for r in out2["history"]] == [3, 4]
+
+    # uninterrupted 4-epoch run from scratch must match the resumed one
+    # exactly (same seeds, epoch-indexed shuffles)
+    out3 = train_classifier(SMALL, mel_cfg, _cfgs(os.path.join(tmp, "b"), 4),
+                            ds_t.batcher(8), ds_v.batcher(8))
+    a = out2["history"][-1]
+    b = out3["history"][-1]
+    np.testing.assert_allclose(a["train/loss"], b["train/loss"], rtol=1e-4)
+    np.testing.assert_allclose(a["val/loss"], b["val/loss"], rtol=1e-4)
+
+
+def test_spec_augment_shapes_and_masking():
+    from audio_transformers_tpu.ops.specaugment import spec_augment
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((3, 100, 80)).astype(np.float32))
+    out = spec_augment(jax.random.PRNGKey(0), mel, num_time_masks=2,
+                       max_time_frac=0.2, num_freq_masks=2, max_freq=10)
+    assert out.shape == mel.shape
+    changed = np.asarray(out != mel)
+    assert changed.any()          # something masked
+    assert not changed.all()      # not everything
+    # masked positions hold the per-sample mean
+    b, t, f = np.nonzero(changed)
+    mean0 = float(jnp.mean(mel[b[0]]))
+    np.testing.assert_allclose(float(out[b[0], t[0], f[0]]), mean0,
+                               rtol=1e-4)
+
+
+def test_spec_augment_constant_fill():
+    from audio_transformers_tpu.ops.specaugment import spec_augment
+
+    mel = jnp.ones((2, 50, 64))
+    out = spec_augment(jax.random.PRNGKey(1), mel, mask_value=0.0)
+    vals = np.unique(np.asarray(out))
+    assert set(np.round(vals, 6)).issubset({0.0, 1.0})
+
+
+def test_timed_and_trace(tmp_path):
+    from audio_transformers_tpu.core.profiling import timed, trace
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((128, 128))
+    res = timed(f, x, reps=3)
+    assert res["mean_s"] > 0
+    with trace(str(tmp_path / "tb")):
+        f(x)
+    assert any(os.scandir(tmp_path / "tb"))
+
+
+def test_process_shard_single_host():
+    from audio_transformers_tpu.parallel.distributed import (
+        global_batch_to_local, process_shard)
+
+    assert list(process_shard(10)) == list(range(10))
+    assert global_batch_to_local(32) == 32
+
+
+def test_linear_warmup_decay_schedule():
+    from audio_transformers_tpu.train.optim import build_optimizer
+    import optax
+
+    cfg = OptimizerConfig(name="adamw", learning_rate=1.0,
+                          schedule="linear_warmup_decay",
+                          warmup_fraction=0.1)
+    tx = build_optimizer(cfg, total_steps=100)
+    params = {"w": jnp.zeros(4)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(4)}
+    # step 1..10 warmup: updates grow; later decay
+    mags = []
+    for _ in range(30):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mags.append(float(jnp.abs(updates["w"][0])))
+    assert mags[1] > mags[0]        # warming up
+    assert mags[-1] < max(mags)     # decaying after peak
