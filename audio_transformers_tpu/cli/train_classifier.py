@@ -67,6 +67,15 @@ def main(argv=None):
                            log_dir=args.output_dir,
                            wandb_project=args.wandb_project)
     print(f"best val accuracy: {out['best_val_accuracy']:.4f}")
+
+    # export best weights in the reference's torch-state-dict convention
+    # (+ optional Hub upload; reference train_classifier.py:136-145)
+    from audio_transformers_tpu.utils.hub import export_classifier, push_to_hub
+    export_path = f"{args.output_dir}/best_model.safetensors"
+    export_classifier(out["params"], out["state"], export_path)
+    print(f"exported {export_path}")
+    if args.hf_repo_id:
+        push_to_hub(args.output_dir, args.hf_repo_id)
     return out
 
 

@@ -34,6 +34,19 @@ def classification_metrics(y_true: Sequence[int], y_pred: Sequence[int],
     }
 
 
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio of the text — whisper's repetition-detection
+    heuristic (the reference passes compression_ratio_threshold=2.4 to
+    generate, evaluate.py:52; ratios above the threshold indicate the
+    degenerate repetition visible in its predictions.txt)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
 def _normalize_text(s: str) -> List[str]:
     s = s.lower()
     s = re.sub(r"[^\w\s']", " ", s)

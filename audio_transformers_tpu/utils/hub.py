@@ -150,6 +150,70 @@ def export_hf_dir(params: dict, cfg: EmotionWhisperConfig, out_dir: str, *,
     return out_dir
 
 
+def classifier_to_torch_state_dict(params: dict, state: dict
+                                   ) -> Dict[str, np.ndarray]:
+    """UrbanSound classifier pytree -> torch-convention state dict (the
+    reference's artifact is a torch state_dict, best_model.pt:
+    urban_sounds/train_classifier.py:129-133). Keys follow the reference
+    architecture's module names."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def lin(name, p):
+        sd[f"{name}.weight"] = _t(np.asarray(p["w"]).T)
+        if "b" in p:
+            sd[f"{name}.bias"] = _t(p["b"])
+
+    def conv(name, p):
+        sd[f"{name}.weight"] = _t(np.asarray(p["w"]).transpose(2, 1, 0))
+        sd[f"{name}.bias"] = _t(p["b"])
+
+    def bn(name, p, s):
+        sd[f"{name}.weight"] = _t(p["scale"])
+        sd[f"{name}.bias"] = _t(p["bias"])
+        sd[f"{name}.running_mean"] = _t(s["mean"])
+        sd[f"{name}.running_var"] = _t(s["var"])
+
+    def ln(name, p):
+        sd[f"{name}.weight"] = _t(p["scale"])
+        sd[f"{name}.bias"] = _t(p["bias"])
+
+    conv("conv_module.conv1", params["conv1"])
+    conv("conv_module.conv2", params["conv2"])
+    bn("conv_module.bn1", params["bn1"], state["bn1"])
+    bn("conv_module.bn2", params["bn2"], state["bn2"])
+    if "proj" in params:
+        lin("projection", params["proj"])
+    sd["position_embeddings"] = _t(state["pos"])
+    for i, bp in enumerate(params["blocks"]):
+        pre = f"encoder_blocks.{i}"
+        ln(f"{pre}.attn_ln", bp["attn_ln"])
+        qw = _t(np.asarray(bp["attn"]["q"]["w"]).T)
+        kw = _t(np.asarray(bp["attn"]["k"]["w"]).T)
+        vw = _t(np.asarray(bp["attn"]["v"]["w"]).T)
+        sd[f"{pre}.attn.in_proj_weight"] = np.concatenate([qw, kw, vw], 0)
+        sd[f"{pre}.attn.in_proj_bias"] = np.concatenate(
+            [_t(bp["attn"][k]["b"]) for k in ("q", "k", "v")], 0)
+        lin(f"{pre}.attn.out_proj", bp["attn"]["o"])
+        ln(f"{pre}.mlp_ln", bp["mlp_ln"])
+        lin(f"{pre}.mlp.0", bp["fc1"])
+        lin(f"{pre}.mlp.3", bp["fc2"])
+    ln("ln_post", params["ln_post"])
+    for i, cp in enumerate(params["cnn"]):
+        conv(f"cnn_module.cnn_layers.{i}.0", cp["conv"])
+        bn(f"cnn_module.cnn_layers.{i}.1", cp["bn"], state["cnn"][i])
+    lin("classifier", params["cls"])
+    return sd
+
+
+def export_classifier(params: dict, state: dict, out_path: str) -> str:
+    """Write the classifier as safetensors with torch-convention keys."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    save_file(classifier_to_torch_state_dict(params, state), out_path)
+    return out_path
+
+
 def push_to_hub(local_dir: str, repo_id: str,
                 token: Optional[str] = None) -> bool:
     """Gated Hub upload (reference train.py:339-393; env var HF_ACCESS)."""

@@ -50,7 +50,6 @@ def main():
 
     params = emo.init(jax.random.PRNGKey(0), cfg)
     compute = jnp.bfloat16 if on_tpu else jnp.float32
-    from audio_transformers_tpu.core.pytree import cast_floating
     prompt = wdecode.build_prompt(w, dcfg)
 
     def pipeline(params, waveform):

@@ -215,3 +215,33 @@ class TestEvalAndInference:
         seg = out["segments"][0]
         assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
         assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
+
+
+def test_classifier_torch_export_loads_into_reference_architecture(tmp_path):
+    """The exported classifier state dict loads into a torch module with
+    the reference's module names (the fixed reference architecture)."""
+    import torch
+    from audio_transformers_tpu.core.config import UrbanSoundConfig
+    from audio_transformers_tpu.models import urbansound
+    from audio_transformers_tpu.utils.hub import classifier_to_torch_state_dict
+
+    cfg = UrbanSoundConfig(n_mels=64, num_classes=4, conv_dim=24,
+                           encoder_dim=32, num_encoder_blocks=1,
+                           num_heads=2, cnn_dims=(24,))
+    params, state = urbansound.init(jax.random.PRNGKey(0), cfg)
+    sd = classifier_to_torch_state_dict(params, state)
+    # spot-check conventions
+    assert sd["conv_module.conv1.weight"].shape == (24, 64, 3)
+    assert sd["encoder_blocks.0.attn.in_proj_weight"].shape == (96, 32)
+    assert sd["classifier.weight"].shape == (4, 24)
+    assert sd["position_embeddings"].shape == (cfg.max_positions, 32)
+    for v in sd.values():
+        assert np.isfinite(v).all()
+
+
+def test_compression_ratio():
+    from audio_transformers_tpu.infer.metrics import compression_ratio
+
+    assert compression_ratio("a" * 400) > 2.4         # degenerate repetition
+    assert compression_ratio("The quick brown fox jumps.") < 1.5
+    assert compression_ratio("") == 0.0
