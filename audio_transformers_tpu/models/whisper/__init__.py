@@ -7,5 +7,6 @@ from audio_transformers_tpu.models.whisper.model import (  # noqa: F401
     init_cache,
     logits_from_hidden,
     param_axes,
+    prepare_decode_params,
     precompute_cross_attention,
 )

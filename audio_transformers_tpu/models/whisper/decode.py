@@ -96,6 +96,7 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
     cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype)
     cross = wm.precompute_cross_attention(params, cfg, enc)
+    step_params = wm.prepare_decode_params(params, cfg)
     finished = jnp.zeros((batch,), bool)
     key = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -107,7 +108,8 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         tokens, hiddens, cache, finished, key = state
         i = cache["index"]
         tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross)
+        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
+                                              step_params=step_params)
         hiddens = jax.lax.dynamic_update_slice(
             hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
 
@@ -144,7 +146,8 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         tokens, hiddens, cache = args
         i = cache["index"]
         tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross)
+        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
+                                              step_params=step_params)
         hiddens = jax.lax.dynamic_update_slice(
             hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
         return tokens, hiddens, cache

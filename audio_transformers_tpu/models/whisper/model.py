@@ -175,15 +175,51 @@ def logits_from_hidden(params: dict, hidden: jax.Array) -> jax.Array:
 
 def init_cache(cfg: WhisperConfig, batch: int, *, max_len: Optional[int] = None,
                dtype=jnp.float32) -> dict:
-    """Per-layer self-attention K/V rings of static length (TPU: static
-    shapes; the reference decodes through HF's dynamic-shape Python loop,
-    one sync per token — evaluate_simple.py:125-135)."""
+    """Self-attention K/V buffers of static length, one per layer (lists,
+    so a step updates each layer in place under while-loop buffer aliasing
+    instead of re-stacking the whole cache). The reference decodes through
+    HF's dynamic-shape Python loop, one sync per token
+    (evaluate_simple.py:125-135)."""
     max_len = max_len or cfg.max_target_positions
     h, hd = cfg.num_heads, cfg.head_dim
     return {
-        "k": jnp.zeros((cfg.decoder_layers, batch, h, max_len, hd), dtype),
-        "v": jnp.zeros((cfg.decoder_layers, batch, h, max_len, hd), dtype),
+        "k": [jnp.zeros((batch, h, max_len, hd), dtype)
+              for _ in range(cfg.decoder_layers)],
+        "v": [jnp.zeros((batch, h, max_len, hd), dtype)
+              for _ in range(cfg.decoder_layers)],
         "index": jnp.zeros((), jnp.int32),
+    }
+
+
+def prepare_decode_params(params: dict, cfg: WhisperConfig) -> dict:
+    """Precompute step-optimized decoder weights OUTSIDE the decode loop:
+    per layer, the self-attention q/k/v projections fused into one matmul
+    (whisper k_proj has no bias; a zero bias keeps the fused add uniform).
+    Cuts the per-step op count by ~2 matmuls x layers."""
+    d = cfg.d_model
+    layers = []
+    for bp in params["decoder"]["blocks"]:
+        sa = bp["self_attn"]
+        qkv_w = jnp.concatenate(
+            [sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=1)  # (D, 3D)
+        kb = sa["k"].get("b", jnp.zeros((d,), sa["q"]["b"].dtype))
+        qkv_b = jnp.concatenate([sa["q"]["b"], kb, sa["v"]["b"]])
+        layers.append({
+            "self_ln": bp["self_ln"],
+            "qkv": {"w": qkv_w, "b": qkv_b},
+            "self_o": sa["o"],
+            "cross_ln": bp["cross_ln"],
+            "cross_q": bp["cross_attn"]["q"],
+            "cross_o": bp["cross_attn"]["o"],
+            "mlp_ln": bp["mlp_ln"],
+            "fc1": bp["fc1"],
+            "fc2": bp["fc2"],
+        })
+    return {
+        "embed": params["decoder"]["embed"],
+        "pos": params["decoder"]["pos"],
+        "blocks": layers,
+        "ln": params["decoder"]["ln"],
     }
 
 
@@ -204,31 +240,41 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
 
 
 def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
-                       cache: dict, cross: dict) -> Tuple[jax.Array, dict]:
+                       cache: dict, cross: dict, *,
+                       step_params: Optional[dict] = None
+                       ) -> Tuple[jax.Array, dict]:
     """One decode step. token: (B,) int32; returns (hidden (B, d), cache).
 
-    Writes this step's K/V at cache["index"], attends over the valid prefix.
+    Writes this step's K/V at cache["index"], attends over the valid
+    prefix. Pass `step_params` (from `prepare_decode_params`) to use the
+    fused-QKV fast path; built on the fly otherwise.
     """
-    p = params["decoder"]
+    sp = step_params if step_params is not None \
+        else prepare_decode_params(params, cfg)
     idx = cache["index"]
     b = token.shape[0]
-    x = nn.embedding_lookup(p["embed"], token)[:, None, :]  # (B, 1, D)
-    x = x + jax.lax.dynamic_slice_in_dim(p["pos"], idx, 1, axis=0)[None]
-    x = x.astype(cache["k"].dtype)
+    d = cfg.d_model
+    x = nn.embedding_lookup(sp["embed"], token)  # (B, D)
+    x = x + jax.lax.dynamic_slice_in_dim(sp["pos"], idx, 1, axis=0)
+    x = x.astype(cache["k"][0].dtype)
 
-    max_len = cache["k"].shape[3]
+    max_len = cache["k"][0].shape[2]
     pos_ids = jnp.arange(max_len)
-    attn_mask = (pos_ids <= idx)[None, None, None, :]  # (1,1,1,L)
+    attn_mask = (pos_ids <= idx)[None, None, :]  # (1,1,L)
 
     new_k, new_v = [], []
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    for li, bp in enumerate(p["blocks"]):
+    h_heads, hd = cfg.num_heads, cfg.head_dim
+
+    def heads(y):  # (B, D) -> (B, H, 1, hd)
+        return y.reshape(b, h_heads, 1, hd)
+
+    for li, bp in enumerate(sp["blocks"]):
         h = nn.layer_norm(bp["self_ln"], x)
-        q = nn.split_heads(nn.linear(bp["self_attn"]["q"], h), cfg.num_heads)
-        k_new = nn.split_heads(nn.linear(bp["self_attn"]["k"], h),
-                               cfg.num_heads)
-        v_new = nn.split_heads(nn.linear(bp["self_attn"]["v"], h),
-                               cfg.num_heads)
+        qkv = nn.linear(bp["qkv"], h)  # (B, 3D)
+        q = heads(qkv[:, :d])
+        k_new = qkv[:, d:2 * d].reshape(b, h_heads, 1, hd)
+        v_new = qkv[:, 2 * d:].reshape(b, h_heads, 1, hd)
         k_all = jax.lax.dynamic_update_slice(
             cache["k"][li], k_new, (0, 0, idx, 0))
         v_all = jax.lax.dynamic_update_slice(
@@ -236,30 +282,30 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
         new_k.append(k_all)
         new_v.append(v_all)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all,
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)[:, :, 0, :] \
+            * scale
         logits = jnp.where(attn_mask, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all,
+        attn = jnp.einsum("bhk,bhkd->bhd", probs, v_all,
                           preferred_element_type=jnp.float32).astype(x.dtype)
-        x = x + nn.linear(bp["self_attn"]["o"], nn.merge_heads(attn))
+        x = x + nn.linear(bp["self_o"], attn.reshape(b, d))
 
         h = nn.layer_norm(bp["cross_ln"], x)
-        q = nn.split_heads(nn.linear(bp["cross_attn"]["q"], h),
-                           cfg.num_heads)
+        q = heads(nn.linear(bp["cross_q"], h))
         clogits = jnp.einsum("bhqd,bhkd->bhqk", q, cross["k"][li],
-                             preferred_element_type=jnp.float32) * scale
+                             preferred_element_type=jnp.float32)[:, :, 0, :] \
+            * scale
         cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
-        cattn = jnp.einsum("bhqk,bhkd->bhqd", cprobs, cross["v"][li],
+        cattn = jnp.einsum("bhk,bhkd->bhd", cprobs, cross["v"][li],
                            preferred_element_type=jnp.float32).astype(x.dtype)
-        x = x + nn.linear(bp["cross_attn"]["o"], nn.merge_heads(cattn))
+        x = x + nn.linear(bp["cross_o"], cattn.reshape(b, d))
 
         h = nn.layer_norm(bp["mlp_ln"], x)
         x = x + nn.linear(bp["fc2"], nn.gelu(nn.linear(bp["fc1"], h)))
 
-    x = nn.layer_norm(p["ln"], x)
-    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v),
-                 "index": idx + 1}
-    return x[:, 0, :], new_cache
+    x = nn.layer_norm(sp["ln"], x)
+    new_cache = {"k": new_k, "v": new_v, "index": idx + 1}
+    return x, new_cache
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ def main():
     dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
                         repetition_penalty=1.15)
 
-    batch = 64 if on_tpu else 2
+    batch = 128 if on_tpu else 2
     clip_secs = 30.0
     rng = np.random.default_rng(0)
     waveform = jnp.asarray(
