@@ -150,9 +150,10 @@ class EmotionWhisperPipeline:
     def _text(self, tokens: np.ndarray, start: int, length: int) -> str:
         if self.tokenizer is None:
             return ""
-        ids = [int(t) for t in tokens[start:length]
-               if t < self.cfg.whisper.eos_token_id]
-        return self.tokenizer.decode(ids).strip()
+        # the tokenizer skips special/timestamp tokens itself (HF marks
+        # them special; the byte tokenizer skips out-of-range ids)
+        ids = [int(t) for t in tokens[start:length]]
+        return self.tokenizer.decode(ids, skip_special=True).strip()
 
     # ------------------------------------------------------------------
     def transcribe(self, waveform: np.ndarray, sr: int, *,

@@ -90,11 +90,15 @@ def init(key: jax.Array, cfg: UrbanSoundConfig) -> Tuple[dict, dict]:
 
 def _encoder_block(p: dict, x: jax.Array, cfg: UrbanSoundConfig, *,
                    training: bool, rng: Optional[jax.Array]) -> jax.Array:
-    k1 = k2 = None
+    k0 = k1 = k2 = None
     if rng is not None:
-        k1, k2 = jax.random.split(rng)
+        k0, k1, k2 = jax.random.split(rng, 3)
     h = nn.layer_norm(p["attn_ln"], x)
-    x = x + nn.multihead_attention(p["attn"], h, h, num_heads=cfg.num_heads)
+    # attention-prob dropout matches the reference's
+    # MultiheadAttention(dropout=...) (urban_sounds/model.py:39)
+    x = x + nn.multihead_attention(
+        p["attn"], h, h, num_heads=cfg.num_heads,
+        dropout_rate=cfg.dropout if training else 0.0, dropout_rng=k0)
     h = nn.layer_norm(p["mlp_ln"], x)
     h = nn.gelu(nn.linear(p["fc1"], h))
     h = nn.dropout(k1, h, cfg.dropout, training=training)

@@ -90,7 +90,7 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
              enc: jax.Array, *,
              prompt: Optional[Tuple[int, ...]] = None,
              suppress_ids: Tuple[int, ...] = (),
-             begin_suppress_ids: Tuple[int, ...] = (_SPACE_TOKEN,),
+             begin_suppress_ids: Optional[Tuple[int, ...]] = None,
              max_len: Optional[int] = None,
              rng: Optional[jax.Array] = None) -> dict:
     """Decode from encoder states. Returns a dict:
@@ -104,7 +104,11 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     p_len = len(prompt)
     batch = enc.shape[0]
     L = max_len or min(p_len + dcfg.max_new_tokens, cfg.max_target_positions)
-    begin_suppress_ids = tuple(begin_suppress_ids) + (cfg.eos_token_id,)
+    if begin_suppress_ids is None:
+        # whisper generation-config default: suppress " " and EOS at the
+        # first generated position; pass an explicit tuple to override
+        begin_suppress_ids = ((_SPACE_TOKEN, cfg.eos_token_id)
+                              if dcfg.suppress_blank else ())
 
     tokens = jnp.full((batch, L), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])

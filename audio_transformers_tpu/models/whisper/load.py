@@ -23,15 +23,6 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    if any(k.startswith("whisper.") for k in sd):
-        sd = {k[len("whisper."):]: v for k, v in sd.items()
-              if k.startswith("whisper.") or k.startswith("emotion_classifier.")
-              or not k.startswith("whisper.")}
-        # keep emotion head keys reachable under their own name
-    return sd
-
-
 def _linear(sd, prefix: str, *, bias: bool = True) -> dict:
     p = {"w": _np(sd[f"{prefix}.weight"]).T}
     if bias and f"{prefix}.bias" in sd:

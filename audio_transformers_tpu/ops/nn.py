@@ -245,12 +245,16 @@ def merge_heads(x: Array) -> Array:
 
 def multihead_attention(params: dict, q_in: Array, kv_in: Array, *,
                         num_heads: int, mask: Optional[Array] = None,
-                        impl: str = "xla", causal: bool = False) -> Array:
+                        impl: str = "xla", causal: bool = False,
+                        dropout_rate: float = 0.0,
+                        dropout_rng: Optional[Array] = None) -> Array:
     """Self- or cross-attention. q_in (B,Tq,D); kv_in (B,Tk,D).
 
     impl="flash" uses the fused Pallas kernel (forward-only; inference
-    paths) — it supports no mask beyond `causal`. impl="xla" is the
-    differentiable unfused path (training).
+    paths) — it supports no mask beyond `causal` and no dropout.
+    impl="xla" is the differentiable unfused path (training), with
+    optional attention-probability dropout (torch MultiheadAttention
+    semantics; pass a rng to enable).
     """
     q = split_heads(linear(params["q"], q_in), num_heads)
     k = split_heads(linear(params["k"], kv_in), num_heads)
@@ -263,6 +267,8 @@ def multihead_attention(params: dict, q_in: Array, kv_in: Array, *,
         if causal and mask is None:
             mask = causal_mask(q_in.shape[1])
         probs = attention_weights(q, k, mask=mask)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            probs = dropout(dropout_rng, probs, dropout_rate, training=True)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32
                          ).astype(q_in.dtype)
