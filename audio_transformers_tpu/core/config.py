@@ -272,6 +272,10 @@ class TrainConfig(_ConfigBase):
     # mesh axes, e.g. (("data", -1),) or (("data", -1), ("model", 2))
     mesh_shape: Tuple[Tuple[str, int], ...] = (("data", -1),)
     remat: bool = False               # jax.checkpoint the encoder/decoder blocks
+    # "xla" | "flash" | "auto": attention implementation for training
+    # (flash = fused Pallas kernels with the custom-VJP backward;
+    # auto = flash on TPU, xla elsewhere)
+    attn_impl: str = "auto"
 
 
 @dataclass(frozen=True)

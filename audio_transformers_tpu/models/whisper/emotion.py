@@ -49,18 +49,21 @@ def param_axes(params: dict):
 
 def forward_train(params: dict, cfg: EmotionWhisperConfig, mel: jax.Array,
                   decoder_ids: jax.Array, *, remat: bool = False,
-                  pooling: str = "all") -> Tuple[jax.Array, jax.Array]:
+                  pooling: str = "all",
+                  attn_impl: str = "auto") -> Tuple[jax.Array, jax.Array]:
     """Teacher-forced pass. Returns (token logits (B,T,V) fp32,
     emotion logits (B,C) fp32).
 
     pooling="all" mean-pools every decoder position including padding —
     exactly the reference's training-time pooling (model.py:96);
     pooling="masked" excludes pad positions (a documented improvement).
+    attn_impl="flash" trains with the fused attention kernels (fwd+bwd).
     """
     w = cfg.whisper
-    enc = wm.encode(params["whisper"], w, mel, remat=remat)
+    enc = wm.encode(params["whisper"], w, mel, remat=remat,
+                    attn_impl=attn_impl)
     hidden = wm.apply_decoder(params["whisper"], w, enc, decoder_ids,
-                              remat=remat)
+                              remat=remat, attn_impl=attn_impl)
     logits = wm.logits_from_hidden(params["whisper"], hidden)
     if pooling == "all":
         pooled = jnp.mean(hidden.astype(jnp.float32), axis=1)

@@ -124,12 +124,13 @@ def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
 
 
 def _cross_block(p: dict, x: jax.Array, enc: jax.Array, heads: int,
-                 self_mask: Optional[jax.Array]) -> jax.Array:
+                 impl: str) -> jax.Array:
     h = nn.layer_norm(p["self_ln"], x)
     x = x + nn.multihead_attention(p["self_attn"], h, h, num_heads=heads,
-                                   mask=self_mask)
+                                   causal=True, impl=impl)
     h = nn.layer_norm(p["cross_ln"], x)
-    x = x + nn.multihead_attention(p["cross_attn"], h, enc, num_heads=heads)
+    x = x + nn.multihead_attention(p["cross_attn"], h, enc, num_heads=heads,
+                                   impl=impl)
     h = nn.layer_norm(p["mlp_ln"], x)
     x = x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
     return x
@@ -137,24 +138,25 @@ def _cross_block(p: dict, x: jax.Array, enc: jax.Array, heads: int,
 
 def apply_decoder(params: dict, cfg: WhisperConfig, enc: jax.Array,
                   tokens: jax.Array, *, position_offset: int = 0,
-                  remat: bool = False) -> jax.Array:
+                  remat: bool = False, attn_impl: str = "xla") -> jax.Array:
     """tokens: (B, T) -> last hidden states (B, T, d_model).
 
     Causal self-attention only (no padding mask) — deliberately matching the
     reference's teacher-forced training which passes no decoder attention
     mask (reference: whisper_finetune/train.py:195-202).
     """
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     p = params["decoder"]
     t = tokens.shape[1]
     x = nn.embedding_lookup(p["embed"], tokens)
     x = x + p["pos"][None, position_offset: position_offset + t, :]
     x = x.astype(enc.dtype)
-    mask = nn.causal_mask(t)
     block = _cross_block
     if remat:
-        block = jax.checkpoint(_cross_block, static_argnums=(3,))
+        block = jax.checkpoint(_cross_block, static_argnums=(3, 4))
     for bp in p["blocks"]:
-        x = block(bp, x, enc, cfg.num_heads, mask)
+        x = block(bp, x, enc, cfg.num_heads, attn_impl)
     return nn.layer_norm(p["ln"], x)
 
 

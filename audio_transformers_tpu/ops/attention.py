@@ -1,15 +1,17 @@
-"""Fused (flash) attention Pallas kernel for TPU.
+"""Fused (flash) attention Pallas kernels for TPU (forward + backward).
 
 The XLA attention path materializes the (B, H, Tq, Tk) probability tensor
 in HBM — for the whisper encoder (Tk = 1500) that is gigabytes of traffic
-per layer and dominates encoder time. This kernel computes attention with
-the online-softmax recurrence entirely in VMEM: per (batch*head, q-block)
-grid cell it streams K/V blocks, keeping running max/denominator, so HBM
-traffic is just q/k/v/out.
+per layer, dominates encoder time, and (since XLA saves it as a backward
+residual) caps the training batch size. These kernels compute attention
+with the online-softmax recurrence entirely in VMEM; the backward pass
+recomputes probabilities from q/k + the saved per-row logsumexp instead of
+storing them (the standard flash-attention VJP), so residual memory is
+O(B*H*Tq) instead of O(B*H*Tq*Tk).
 
-Forward-only (used on the inference/serving path); training uses the XLA
-path, whose backward XLA generates itself. The reference's equivalent tier
-is cuDNN attention inside HF Whisper (SURVEY.md §2b).
+`flash_attention` is differentiable via jax.custom_vjp and is the fused
+equivalent of the cuDNN attention the reference gets inside HF Whisper
+(SURVEY.md §2b).
 """
 
 from __future__ import annotations
@@ -29,12 +31,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, block_q: int,
-                  block_k: int, t_k: int, scale: float, causal: bool):
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *, block_q: int,
+                block_k: int, t_q: int, t_k: int, scale: float,
+                causal: bool):
     iq = pl.program_id(1)
-    # keep the MXU inputs in the storage dtype (bf16 runs 4x the f32 rate);
-    # accumulation is fp32 via preferred_element_type
-    q = q_ref[0]  # (block_q, d)
+    q = q_ref[0]  # (block_q, d) — storage dtype feeds the MXU (bf16 4x f32)
     d = q.shape[-1]
     num_kb = k_ref.shape[1] // block_k
 
@@ -50,7 +60,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, block_q: int,
         v = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, bk) f32
+            preferred_element_type=jnp.float32) * scale
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = k_pos < t_k
@@ -67,39 +77,34 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, block_q: int,
         m = m_new
 
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    # logsumexp per row; padded q rows get 0 so the backward recompute
+    # stays finite (their cotangent is zero anyway)
+    row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = jnp.where(row < t_q, lse, 0.0)
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    causal: bool = False, scale: float | None = None,
-                    block_q: int = 512, block_k: int = 512,
-                    interpret: bool | None = None) -> jax.Array:
-    """q (B,H,Tq,D), k/v (B,H,Tk,D) -> (B,H,Tq,D). Forward only."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _fwd_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-
     t_q_pad = _round_up(t_q, block_q)
     t_k_pad = _round_up(t_k, block_k)
 
     def pad(x, t_pad):
         t = x.shape[2]
-        if t == t_pad:
-            return x
-        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+        return x if t == t_pad else jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
 
     qf = pad(q, t_q_pad).reshape(b * h, t_q_pad, d)
     kf = pad(k, t_k_pad).reshape(b * h, t_k_pad, d)
     vf = pad(v, t_k_pad).reshape(b * h, t_k_pad, d)
 
-    kernel = functools.partial(_flash_kernel, block_q=block_q,
-                               block_k=block_k, t_k=t_k, scale=scale,
-                               causal=causal)
-    grid = (b * h, t_q_pad // block_q)
-    out = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, block_q=block_q,
+                               block_k=block_k, t_q=t_q, t_k=t_k,
+                               scale=scale, causal=causal)
+    out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b * h, t_q_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
@@ -108,18 +113,222 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             pl.BlockSpec((1, t_k_pad, d), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            # trailing singleton keeps the block shape legal: the last
+            # block dim equals the array dim (1), the middle is 8-divisible
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t_q_pad, 1), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t_q * t_k * d,
-            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize
-            + b * h * t_q_pad * d * q.dtype.itemsize,
+            bytes_accessed=(qf.size + 2 * kf.size) * q.dtype.itemsize,
             transcendentals=b * h * t_q_pad * t_k_pad,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, t_q_pad, d)[:, :, :t_q, :]
+    return out, lse, (qf, kf, vf)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, block_q: int, block_k: int, t_q: int, t_k: int,
+                   scale: float, causal: bool):
+    iq = pl.program_id(1)
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]          # (block_q, 1) f32
+    delta = delta_ref[0]
+    d = q.shape[-1]
+    num_kb = k_ref.shape[1] // block_k
+
+    q_pos = iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    for kb in range(num_kb):
+        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = (k_pos < t_k) & (q_pos < t_q)
+        if causal:
+            mask &= k_pos <= q_pos
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dov = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        ds = p * (dov - delta)
+        dq += jax.lax.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, block_k: int,
+                    t_q: int, t_k: int, scale: float, causal: bool):
+    jk = pl.program_id(1)
+    k = k_ref[0]   # (block_k, d)
+    v = v_ref[0]
+    d = k.shape[-1]
+    num_qb = q_ref.shape[1] // block_q
+
+    k_pos = jk * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    dk = jnp.zeros((block_k, d), jnp.float32)
+    dv = jnp.zeros((block_k, d), jnp.float32)
+    for qb in range(num_qb):
+        q = q_ref[0, qb * block_q:(qb + 1) * block_q, :]
+        do = do_ref[0, qb * block_q:(qb + 1) * block_q, :]
+        lse = lse_ref[0, qb * block_q:(qb + 1) * block_q, :]
+        delta = delta_ref[0, qb * block_q:(qb + 1) * block_q, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        mask = (k_pos < t_k) & (q_pos < t_q)
+        if causal:
+            mask &= k_pos <= q_pos
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        # dv_j = sum_i p_ij * do_i
+        dv += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dov = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dov - delta)
+        # dk_j = sum_i ds_ij * q_i
+        dk += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, scale: float | None = None,
+                    block_q: int = 512, block_k: int = 512,
+                    interpret: bool | None = None) -> jax.Array:
+    """q (B,H,Tq,D), k/v (B,H,Tk,D) -> (B,H,Tq,D). Differentiable."""
+    if interpret is None:
+        interpret = _interpret_default()
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    return _flash(q, k, v, causal, scale, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, _, _ = _fwd_impl(q, k, v, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret)
+    b, h, t_q, d = q.shape
+    return out.reshape(b, h, -1, d)[:, :, :t_q, :]
+
+
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, lse, (qf, kf, vf) = _fwd_impl(
+        q, k, v, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, interpret=interpret)
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
+    res = (qf, kf, vf, out, lse, (b, h, t_q, t_k))
+    return out.reshape(b, h, -1, d)[:, :, :t_q, :], res
+
+
+def _flash_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    qf, kf, vf, outf, lse, (b, h, t_q, t_k) = res
+    bh, t_q_pad, d = qf.shape
+    t_k_pad = kf.shape[1]
+
+    gf = g.astype(qf.dtype)
+    if t_q_pad != t_q:
+        gf = jnp.pad(gf, ((0, 0), (0, 0), (0, t_q_pad - t_q), (0, 0)))
+    gf = gf.reshape(bh, t_q_pad, d)
+
+    # delta_i = rowsum(dout_i * out_i), fp32 (tiny; plain XLA)
+    delta = jnp.sum(gf.astype(jnp.float32) * outf.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (bh, t_q_pad, 1)
+
+    dq_kernel = functools.partial(_bwd_dq_kernel, block_q=block_q,
+                                  block_k=block_k, t_q=t_q, t_k=t_k,
+                                  scale=scale, causal=causal)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, t_q_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_k_pad, d), lambda bh_, i: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_k_pad, d), lambda bh_, i: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, i: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, i: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_q_pad, d), qf.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, delta)
+
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, block_q=block_q,
+                                   block_k=block_k, t_q=t_q, t_k=t_k,
+                                   scale=scale, causal=causal)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, t_k_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, t_q_pad, d), lambda bh_, j: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_q_pad, d), lambda bh_, j: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_q_pad, 1), lambda bh_, j: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_q_pad, 1), lambda bh_, j: (bh_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_k_pad, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, t_k_pad, d), vf.dtype),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, delta)
+
+    dq = dq.reshape(-1, h, t_q_pad, d)[:, :, :t_q, :]
+    dk = dk.reshape(-1, h, t_k_pad, d)[:, :, :t_k, :]
+    dv = dv.reshape(-1, h, t_k_pad, d)[:, :, :t_k, :]
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def attention_reference(q, k, v, *, causal: bool = False,

@@ -73,7 +73,8 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     def _forward(params, batch, *, remat):
         mel = log_mel(batch["waveform"], mel_cfg).astype(compute_dtype)
         dec_in = batch["labels"][:, :-1]
-        return emo.forward_train(params, cfg, mel, dec_in, remat=remat)
+        return emo.forward_train(params, cfg, mel, dec_in, remat=remat,
+                                 attn_impl=train_cfg.attn_impl)
 
     def _loss(params, batch):
         logits, emotion_logits = _forward(params, batch,

@@ -46,3 +46,54 @@ def test_flash_in_encoder_matches_xla():
     b = wm.encode(params, cfg, mel, attn_impl="flash")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-4, atol=2e-5)
+
+
+class TestFlashBackward:
+    @pytest.mark.parametrize("tq,tk,causal", [
+        (256, 256, False),
+        (300, 300, True),      # padding + causal
+        (128, 384, False),     # cross-attention shape
+    ])
+    def test_grads_match_reference(self, tq, tk, causal):
+        q, k, v = _qkv(2, 2, tq, tk, 64, seed=tq * 2 + tk)
+
+        def loss_flash(q, k, v):
+            o = flash_attention(q, k, v, causal=causal,
+                                block_q=128, block_k=128)
+            return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+        def loss_ref(q, k, v):
+            o = attention_reference(q, k, v, causal=causal)
+            return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=5e-3, atol=5e-4,
+                err_msg=f"d{name} mismatch (tq={tq}, tk={tk}, "
+                        f"causal={causal})")
+
+    def test_grad_through_encoder(self):
+        from audio_transformers_tpu.core.config import WhisperConfig
+        from audio_transformers_tpu.models import whisper as wm
+
+        cfg = WhisperConfig.test()
+        params = wm.init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray(rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.n_mels))
+            .astype(np.float32))
+
+        def loss(params, impl):
+            out = wm.encode(params, cfg, mel, attn_impl=impl)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_flash = jax.grad(lambda p: loss(p, "flash"))(params)
+        g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_flash),
+                jax.tree_util.tree_leaves_with_path(g_xla)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-3,
+                                       err_msg=str(path))
