@@ -32,7 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default=None,
                    help="HF whisper dir/safetensors to initialize from")
     p.add_argument("--model_size", default="tiny",
-                   choices=["tiny", "test"])
+                   choices=["tiny", "base", "small", "medium", "large",
+                            "large-v3", "test"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--num_samples", type=int, default=64,
@@ -56,8 +57,7 @@ def main(argv=None):
     from audio_transformers_tpu.train.whisper_emotion import (
         train_whisper_emotion)
 
-    whisper_cfg = (WhisperConfig.tiny() if args.model_size == "tiny"
-                   else WhisperConfig.test())
+    whisper_cfg = WhisperConfig.by_name(args.model_size)
     mel_cfg = MelConfig.whisper(n_mels=whisper_cfg.n_mels)
     # synthetic clip duration must fit the model's encoder window
     duration = min(30.0, (2 * whisper_cfg.max_source_positions)

@@ -189,6 +189,49 @@ class WhisperConfig(_ConfigBase):
         return WhisperConfig()
 
     @staticmethod
+    def base() -> "WhisperConfig":
+        return WhisperConfig(d_model=512, encoder_layers=6, decoder_layers=6,
+                             num_heads=8, ffn_dim=2048)
+
+    @staticmethod
+    def small() -> "WhisperConfig":
+        return WhisperConfig(d_model=768, encoder_layers=12,
+                             decoder_layers=12, num_heads=12, ffn_dim=3072)
+
+    @staticmethod
+    def medium() -> "WhisperConfig":
+        return WhisperConfig(d_model=1024, encoder_layers=24,
+                             decoder_layers=24, num_heads=16, ffn_dim=4096)
+
+    @staticmethod
+    def large() -> "WhisperConfig":
+        """large-v2 geometry (vocab 51865, 80 mel bins)."""
+        return WhisperConfig(d_model=1280, encoder_layers=32,
+                             decoder_layers=32, num_heads=20, ffn_dim=5120)
+
+    @staticmethod
+    def large_v3() -> "WhisperConfig":
+        """large-v3: 128 mel bins, one extra vocab entry (<|yue|>)."""
+        return WhisperConfig(vocab_size=51866, n_mels=128, d_model=1280,
+                             encoder_layers=32, decoder_layers=32,
+                             num_heads=20, ffn_dim=5120,
+                             no_timestamps_token_id=50364,
+                             timestamp_begin_id=50365)
+
+    @staticmethod
+    def by_name(name: str) -> "WhisperConfig":
+        presets = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+                   "small": WhisperConfig.small,
+                   "medium": WhisperConfig.medium,
+                   "large": WhisperConfig.large,
+                   "large-v3": WhisperConfig.large_v3,
+                   "test": WhisperConfig.test}
+        if name not in presets:
+            raise ValueError(f"unknown whisper size {name!r}; "
+                             f"choose from {sorted(presets)}")
+        return presets[name]()
+
+    @staticmethod
     def test(vocab_size: int = 1024) -> "WhisperConfig":
         """A tiny config for fast unit tests."""
         return WhisperConfig(

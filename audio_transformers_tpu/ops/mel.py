@@ -192,6 +192,15 @@ def _log_epilogue(mel: jax.Array, cfg: MelConfig) -> jax.Array:
     raise ValueError(cfg.log_mode)
 
 
+def _ensure_min_length(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
+    """Clips shorter than one FFT window are zero-padded (reflect padding
+    needs num_samples > n_fft//2, and at least one frame must exist)."""
+    if waveform.shape[1] <= cfg.n_fft:
+        waveform = jnp.pad(
+            waveform, ((0, 0), (0, cfg.n_fft + 1 - waveform.shape[1])))
+    return waveform
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def log_mel_xla(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
     """waveform (B, num_samples) f32 -> (B, frames, n_mels) f32 features."""
@@ -200,6 +209,7 @@ def log_mel_xla(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
     # TPU "default" precision would round inputs to bf16.
     hi = jax.lax.Precision.HIGHEST
     wcos, wsin, fb = (jnp.asarray(a) for a in _windowed_bases(cfg))
+    waveform = _ensure_min_length(waveform.astype(jnp.float32), cfg)
     frames = frame_signal(waveform.astype(jnp.float32), cfg)
     re = jnp.einsum("btn,nf->btf", frames, wcos, precision=hi,
                     preferred_element_type=jnp.float32)

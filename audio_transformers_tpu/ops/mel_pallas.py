@@ -124,7 +124,8 @@ def log_mel_pallas(waveform: jax.Array, cfg: MelConfig, *,
     if tile_t is None:
         tile_t = 128 if cfg.n_fft > 512 else 256
 
-    waveform = waveform.astype(jnp.float32)
+    from audio_transformers_tpu.ops.mel import _ensure_min_length
+    waveform = _ensure_min_length(waveform.astype(jnp.float32), cfg)
     batch, num_samples = waveform.shape
     hop, n_fft = cfg.hop_length, cfg.n_fft
 

@@ -159,3 +159,15 @@ class TestDevicePaths:
 def test_frame_count_whisper_30s():
     cfg = MelConfig.whisper()
     assert cfg.num_frames(cfg.sample_rate * 30) == 3000
+
+
+def test_short_clip_does_not_crash():
+    """Clips shorter than one FFT window are zero-padded instead of
+    crashing reflect-pad."""
+    cfg = MelConfig.whisper()
+    wav = np.zeros((2, 150), np.float32)  # < n_fft//2
+    out = np.asarray(mel_ops.log_mel_xla(wav, cfg))
+    assert out.shape[2] == cfg.n_mels and np.isfinite(out).all()
+    from audio_transformers_tpu.ops.mel_pallas import log_mel_pallas
+    out2 = np.asarray(log_mel_pallas(wav, cfg))
+    assert np.isfinite(out2).all()

@@ -123,3 +123,17 @@ def test_tiny_config_param_count():
     from audio_transformers_tpu.core.pytree import param_count
     n = param_count(params)
     assert 35_000_000 < n < 40_000_000, n
+
+
+@pytest.mark.parametrize("name,params_m", [
+    ("tiny", 37.8), ("base", 72.6), ("small", 241.7), ("medium", 763.9),
+])
+def test_size_presets_param_counts(name, params_m):
+    """Parameter counts match the published whisper sizes (+-3%, incl. the
+    emotion head excluded here)."""
+    from audio_transformers_tpu.core.pytree import param_count
+
+    cfg = WhisperConfig.by_name(name)
+    params = whisper_model.init(jax.random.PRNGKey(0), cfg)
+    n = param_count(params) / 1e6
+    assert abs(n - params_m) / params_m < 0.03, (name, n)
