@@ -56,8 +56,8 @@ def main(argv=None):
     result = evaluate_segment_level(
         pipe.params, pipe.cfg, pipe.mel_cfg,
         test_ds.batcher(args.batch_size), idx_to_style,
-        output_dir=args.output_dir, max_segments=args.max_segments,
-        compute_dtype=pipe.compute_dtype)
+        tokenizer=tokenizer, output_dir=args.output_dir,
+        max_segments=args.max_segments, compute_dtype=pipe.compute_dtype)
 
     print(f"Total segments evaluated: {result['total_segments']}")
     print(f"Segment-level Accuracy: {result['accuracy']:.4f}")

@@ -105,9 +105,36 @@ def evaluate_sequence_level(params, cfg: EmotionWhisperConfig,
     return result
 
 
+def segments_from_tokens(tokens_row: np.ndarray, length: int,
+                         prompt_len: int, timestamp_begin: int,
+                         tokenizer=None, *, precision: float = 0.02) -> list:
+    """Host-side split of a timestamped decode row into segments with
+    start/end seconds (whisper timestamps tick every 20 ms) and text."""
+    segments = []
+    start_t = None
+    text_ids: list = []
+    for t in tokens_row[prompt_len:length].tolist():
+        if t >= timestamp_begin:
+            ts = (t - timestamp_begin) * precision
+            if start_t is None:
+                start_t = ts
+            else:
+                text = (tokenizer.decode(text_ids).strip()
+                        if tokenizer else "")
+                segments.append({"start": start_t, "end": ts, "text": text})
+                start_t, text_ids = None, []
+        elif start_t is not None:
+            text_ids.append(t)
+    if start_t is not None and text_ids:
+        text = tokenizer.decode(text_ids).strip() if tokenizer else ""
+        segments.append({"start": start_t, "end": start_t, "text": text})
+    return segments
+
+
 def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
                            mel_cfg: MelConfig, batcher, idx_to_style: Dict,
-                           *, output_dir: Optional[str] = None,
+                           *, tokenizer=None,
+                           output_dir: Optional[str] = None,
                            dcfg: Optional[DecodeConfig] = None,
                            max_segments: int = 16,
                            compute_dtype=jnp.bfloat16) -> dict:
@@ -123,6 +150,7 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
 
     gt_all, pred_all = [], []
     total_segments = 0
+    log_lines = ["===== TRANSCRIPTION AND EMOTION PREDICTIONS =====", ""]
     for batch in batcher.eval_batches():
         out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
                             prompt, compute_dtype)
@@ -132,22 +160,42 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
         seg_preds = np.asarray(jnp.argmax(seg["segment_logits"], -1))
         nsegs = np.asarray(seg["num_segments"])
         counts = np.asarray(seg["segment_counts"])
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
         for b in range(len(nsegs)):
             if not batch["valid"][b]:
                 continue
             gt = int(batch["emotion_labels"][b])
+            spans = segments_from_tokens(
+                tokens[b], int(lengths[b]), len(prompt),
+                w.timestamp_begin_id, tokenizer)
+            log_lines.append("Segment-by-segment analysis:")
             for s in range(int(nsegs[b])):
                 if counts[b, s] <= 0 and s > 0:
                     continue
                 gt_all.append(gt)
                 pred_all.append(int(seg_preds[b, s]))
                 total_segments += 1
+                span = spans[s] if s < len(spans) else {"start": 0.0,
+                                                        "end": 0.0,
+                                                        "text": ""}
+                pred_name = idx_to_style.get(int(seg_preds[b, s]),
+                                             "Unknown")
+                log_lines.append(
+                    f"  Segment {s + 1} ({span['start']:.1f}s - "
+                    f"{span['end']:.1f}s):")
+                log_lines.append(f"    Text: \"{span['text']}\"")
+                log_lines.append(f"    Predicted Emotion: {pred_name}")
+            log_lines.append("")
 
     result = classification_metrics(gt_all, pred_all, idx_to_style)
     result["total_segments"] = total_segments
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
+        # per-segment prediction log (reference evaluate.py:173-175,300-310)
+        with open(os.path.join(output_dir, "predictions.txt"), "w") as f:
+            f.write("\n".join(log_lines) + "\n")
         # exact reference segment_evaluation.txt format (evaluate.py:361-369)
         with open(os.path.join(output_dir, "segment_evaluation.txt"),
                   "w") as f:

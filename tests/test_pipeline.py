@@ -190,12 +190,15 @@ class TestEvalAndInference:
                             repetition_penalty=1.1)
         res = evaluate_segment_level(
             params, TINY, mel_cfg, test_ds.batcher(4), idx_to_style,
-            output_dir=str(tmp_path), dcfg=dcfg, max_segments=4,
-            compute_dtype=jnp.float32)
+            tokenizer=tok, output_dir=str(tmp_path), dcfg=dcfg,
+            max_segments=4, compute_dtype=jnp.float32)
         assert res["total_segments"] >= test_ds.num_samples
         body = open(tmp_path / "segment_evaluation.txt").read()
         assert body.startswith("Total segments evaluated:")
         assert "Classification Report" in body
+        log = open(tmp_path / "predictions.txt").read()
+        assert log.startswith("===== TRANSCRIPTION AND EMOTION PREDICTIONS")
+        assert "Predicted Emotion:" in log
 
     def test_pipeline_analyze(self, setup):
         from audio_transformers_tpu.infer.pipeline import (
