@@ -138,16 +138,21 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
 
     timer = StepTimer()
     for epoch in range(start_epoch, train_cfg.num_epochs):
-        ep_loss, ep_acc, n_batches = 0.0, 0.0, 0
+        # device-side metric accumulation; one host fetch per epoch
+        step_metrics = []
+        n_batches = 0
         for batch in train_batcher.train_epochs(epoch=epoch):
             rng, step_key = jax.random.split(rng)
             params, state, opt_state, m = train_step(
                 params, state, opt_state, shard_batch(batch, mesh), step_key)
-            ep_loss += float(m["loss"])
-            ep_acc += float(m["accuracy"])
+            step_metrics.append(m)
             n_batches += 1
             step += 1
             timer.tick(items=train_cfg.batch_size)
+        ep_loss = float(sum(m["loss"] for m in step_metrics)) \
+            if step_metrics else 0.0
+        ep_acc = float(sum(m["accuracy"] for m in step_metrics)) \
+            if step_metrics else 0.0
 
         val = evaluate(eval_step, params, state, val_batcher, mesh)
         if plateau is not None:

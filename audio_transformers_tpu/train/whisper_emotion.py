@@ -177,18 +177,20 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
 
     timer = StepTimer()
     for epoch in range(start_epoch, train_cfg.num_epochs):
-        acc = {"loss": 0.0, "transcription_loss": 0.0, "emotion_loss": 0.0,
-               "emotion_accuracy": 0.0}
+        # accumulate metrics as device scalars; fetch ONCE per epoch (a
+        # per-step float() would force a host sync every step)
+        step_metrics = []
         n = 0
         for batch in train_batcher.train_epochs(epoch=epoch):
             params, opt_state, m = train_step(params, opt_state,
                                               shard_batch(batch, mesh))
-            for k in acc:
-                acc[k] += float(m[k])
+            step_metrics.append(m)
             n += 1
             step += 1
             timer.tick(items=train_cfg.batch_size)
 
+        acc = {k: float(sum(m[k] for m in step_metrics))
+               for k in step_metrics[0]} if step_metrics else {}
         val = evaluate(eval_step, params, val_batcher, mesh)
         rates = timer.rates()
         timer.reset()
