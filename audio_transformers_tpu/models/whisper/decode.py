@@ -16,7 +16,7 @@ that (evaluate_simple.py:141-143).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

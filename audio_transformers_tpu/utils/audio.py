@@ -10,7 +10,6 @@ and are vectorizable; the mel transform itself runs on the TPU
 from __future__ import annotations
 
 import math
-import struct
 import wave
 from fractions import Fraction
 
