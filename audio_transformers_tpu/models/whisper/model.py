@@ -243,14 +243,22 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
 
 def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                        cache: dict, cross: dict, *,
-                       step_params: Optional[dict] = None
-                       ) -> Tuple[jax.Array, dict]:
+                       step_params: Optional[dict] = None,
+                       attn_impl: str = "xla") -> Tuple[jax.Array, dict]:
     """One decode step. token: (B,) int32; returns (hidden (B, d), cache).
 
     Writes this step's K/V at cache["index"], attends over the valid
     prefix. Pass `step_params` (from `prepare_decode_params`) to use the
     fused-QKV fast path; built on the fly otherwise.
+
+    attn_impl="flash" routes cross-attention through the experimental
+    fused single-query kernel (ops/decode_attention). Measured on v5e it
+    does NOT beat XLA's multiply+reduce fusion (88 vs 157 GB/s — the
+    single-query contraction sits on the lane axis, which the VPU reduces
+    slowly and the MXU cannot batch), so "xla" is the default.
     """
+    if attn_impl == "auto":
+        attn_impl = "xla"
     sp = step_params if step_params is not None \
         else prepare_decode_params(params, cfg)
     idx = cache["index"]
@@ -293,13 +301,19 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
         x = x + nn.linear(bp["self_o"], attn.reshape(b, d))
 
         h = nn.layer_norm(bp["cross_ln"], x)
-        q = heads(nn.linear(bp["cross_q"], h))
-        clogits = jnp.einsum("bhqd,bhkd->bhqk", q, cross["k"][li],
-                             preferred_element_type=jnp.float32)[:, :, 0, :] \
-            * scale
-        cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
-        cattn = jnp.einsum("bhk,bhkd->bhd", cprobs, cross["v"][li],
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+        cq = nn.linear(bp["cross_q"], h).reshape(b, h_heads, hd)
+        if attn_impl == "flash":
+            from audio_transformers_tpu.ops.decode_attention import (
+                decode_attention)
+            cattn = decode_attention(cq, cross["k"][li], cross["v"][li],
+                                     scale=scale).astype(x.dtype)
+        else:
+            clogits = jnp.einsum("bhd,bhkd->bhk", cq, cross["k"][li],
+                                 preferred_element_type=jnp.float32) * scale
+            cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
+            cattn = jnp.einsum("bhk,bhkd->bhd", cprobs, cross["v"][li],
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
         x = x + nn.linear(bp["cross_o"], cattn.reshape(b, d))
 
         h = nn.layer_norm(bp["mlp_ln"], x)

@@ -97,3 +97,44 @@ class TestFlashBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-3,
                                        err_msg=str(path))
+
+
+class TestDecodeAttention:
+    @pytest.mark.parametrize("b,h,t", [(4, 6, 1500), (3, 2, 100),
+                                       (1, 6, 513)])
+    def test_matches_reference(self, b, h, t):
+        from audio_transformers_tpu.ops.decode_attention import (
+            decode_attention, decode_attention_reference)
+
+        rng = np.random.default_rng(b * t)
+        q = jnp.asarray(rng.standard_normal((b, h, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, t, 64))
+                        .astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, t, 64))
+                        .astype(np.float32))
+        got = decode_attention(q, k, v)
+        want = decode_attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_decoder_step_flash_matches_xla(self):
+        from audio_transformers_tpu.core.config import WhisperConfig
+        from audio_transformers_tpu.models import whisper as wm
+
+        cfg = WhisperConfig.test()
+        params = wm.init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray(rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.n_mels))
+            .astype(np.float32))
+        enc = wm.encode(params, cfg, mel)
+        cross = wm.precompute_cross_attention(params, cfg, enc)
+        cache_a = wm.init_cache(cfg, 2, max_len=8)
+        cache_b = wm.init_cache(cfg, 2, max_len=8)
+        tok = jnp.asarray(np.array([5, 9], np.int32))
+        ha, _ = wm.apply_decoder_step(params, cfg, tok, cache_a, cross,
+                                      attn_impl="xla")
+        hb, _ = wm.apply_decoder_step(params, cfg, tok, cache_b, cross,
+                                      attn_impl="flash")
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                   rtol=2e-4, atol=2e-5)
