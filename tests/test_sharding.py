@@ -142,3 +142,29 @@ def test_classifier_bf16_grad():
     params, state, opt_state, m = train_step(params, state, opt_state, sb,
                                              jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_graft_entry_dryrun_multichip_in_process():
+    """The driver's multichip check must work when invoked
+    programmatically (round-1 regression: it asserted on device count
+    instead of bootstrapping a mesh). With 8 fake devices present this
+    exercises the in-process path; the subprocess fallback re-execs into
+    exactly this configuration."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # raises on failure
+
+
+def test_graft_entry_strip_host_count_flag():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    assert g._strip_host_count_flag(
+        "--xla_force_host_platform_device_count=8") == ""
+    assert g._strip_host_count_flag(
+        "--a=1 --xla_force_host_platform_device_count=4 --b=2"
+    ) == "--a=1  --b=2"
+    assert g._strip_host_count_flag("") == ""
