@@ -115,7 +115,10 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
     cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype)
     cross = wm.precompute_cross_attention(params, cfg, enc)
-    step_params = wm.prepare_decode_params(params, cfg)
+    # Weights cast to the compute dtype ONCE, outside the loop; otherwise
+    # every step re-reads the fp32 copies from HBM (decode is
+    # bandwidth-bound — this alone is worth ~2x per step in bf16).
+    step_params = wm.prepare_decode_params(params, cfg, dtype=enc.dtype)
     finished = jnp.zeros((batch,), bool)
     key = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -133,7 +136,10 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
             hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
 
         pos = i + 1  # position being generated
-        table = params["decoder"]["embed"]["table"].astype(hidden.dtype)
+        # step_params' table is already in the compute dtype — using the
+        # raw fp32 table here would cast (read+write the full 51865 x 384
+        # matrix) EVERY step inside the loop
+        table = step_params["embed"]["table"].astype(hidden.dtype)
         logits = jnp.einsum("bd,vd->bv", hidden, table,
                             preferred_element_type=jnp.float32)
         logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,

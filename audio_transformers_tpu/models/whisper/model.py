@@ -181,23 +181,32 @@ def init_cache(cfg: WhisperConfig, batch: int, *, max_len: Optional[int] = None,
     so a step updates each layer in place under while-loop buffer aliasing
     instead of re-stacking the whole cache). The reference decodes through
     HF's dynamic-shape Python loop, one sync per token
-    (evaluate_simple.py:125-135)."""
+    (evaluate_simple.py:125-135).
+
+    Layout (B, H, head_dim, L): like the cross K/V, time on the minor axis
+    so the 64-wide head_dim doesn't get padded to 128 lanes — the cache is
+    re-read in full every decode step."""
     max_len = max_len or cfg.max_target_positions
     h, hd = cfg.num_heads, cfg.head_dim
     return {
-        "k": [jnp.zeros((batch, h, max_len, hd), dtype)
+        "k": [jnp.zeros((batch, h, hd, max_len), dtype)
               for _ in range(cfg.decoder_layers)],
-        "v": [jnp.zeros((batch, h, max_len, hd), dtype)
+        "v": [jnp.zeros((batch, h, hd, max_len), dtype)
               for _ in range(cfg.decoder_layers)],
         "index": jnp.zeros((), jnp.int32),
     }
 
 
-def prepare_decode_params(params: dict, cfg: WhisperConfig) -> dict:
+def prepare_decode_params(params: dict, cfg: WhisperConfig,
+                          dtype=None) -> dict:
     """Precompute step-optimized decoder weights OUTSIDE the decode loop:
     per layer, the self-attention q/k/v projections fused into one matmul
     (whisper k_proj has no bias; a zero bias keeps the fused add uniform).
-    Cuts the per-step op count by ~2 matmuls x layers."""
+    Cuts the per-step op count by ~2 matmuls x layers.
+
+    `dtype` (e.g. bf16) casts every weight ONCE here instead of per decode
+    step — the in-loop `astype` of fp32 weights otherwise re-reads the fp32
+    copy from HBM every token, which dominates decode at small batch."""
     d = cfg.d_model
     layers = []
     for bp in params["decoder"]["blocks"]:
@@ -217,27 +226,37 @@ def prepare_decode_params(params: dict, cfg: WhisperConfig) -> dict:
             "fc1": bp["fc1"],
             "fc2": bp["fc2"],
         })
-    return {
+    out = {
         "embed": params["decoder"]["embed"],
         "pos": params["decoder"]["pos"],
         "blocks": layers,
         "ln": params["decoder"]["ln"],
     }
+    if dtype is not None:
+        out = jax.tree.map(lambda x: x.astype(dtype), out)
+    return out
 
 
 def precompute_cross_attention(params: dict, cfg: WhisperConfig,
                                enc: jax.Array) -> dict:
     """Cross-attn K/V depend only on encoder output — compute once per
     audio segment instead of per decode step (the reference re-encodes audio
-    for its second emotion pass; evaluate_simple.py:141-143)."""
+    for its second emotion pass; evaluate_simple.py:141-143).
+
+    Layout: (layers, B, H, head_dim, T_enc) — time on the MINOR axis.
+    head_dim is 64 on every whisper size; a (..., T, 64) layout pads the
+    64-wide minor dim to the TPU's 128 lanes, physically DOUBLING the
+    hundreds of MB of cross-K/V that decode re-reads every step. With
+    T_enc=1500 (or 750 after the conv stride) on lanes the padding is
+    ~2%, and both per-step contractions stream the arrays at full width."""
     ks, vs = [], []
     for bp in params["decoder"]["blocks"]:
         k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
                            cfg.num_heads)
         v = nn.split_heads(nn.linear(bp["cross_attn"]["v"], enc),
                            cfg.num_heads)
-        ks.append(k)
-        vs.append(v)
+        ks.append(k.transpose(0, 1, 3, 2))  # (B, H, hd, T)
+        vs.append(v.transpose(0, 1, 3, 2))
     return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
 
 
@@ -268,7 +287,7 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
     x = x + jax.lax.dynamic_slice_in_dim(sp["pos"], idx, 1, axis=0)
     x = x.astype(cache["k"][0].dtype)
 
-    max_len = cache["k"][0].shape[2]
+    max_len = cache["k"][0].shape[3]
     pos_ids = jnp.arange(max_len)
     attn_mask = (pos_ids <= idx)[None, None, :]  # (1,1,L)
 
@@ -276,27 +295,23 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
     scale = 1.0 / math.sqrt(cfg.head_dim)
     h_heads, hd = cfg.num_heads, cfg.head_dim
 
-    def heads(y):  # (B, D) -> (B, H, 1, hd)
-        return y.reshape(b, h_heads, 1, hd)
-
     for li, bp in enumerate(sp["blocks"]):
         h = nn.layer_norm(bp["self_ln"], x)
         qkv = nn.linear(bp["qkv"], h)  # (B, 3D)
-        q = heads(qkv[:, :d])
-        k_new = qkv[:, d:2 * d].reshape(b, h_heads, 1, hd)
-        v_new = qkv[:, 2 * d:].reshape(b, h_heads, 1, hd)
+        q = qkv[:, :d].reshape(b, h_heads, hd)
+        k_new = qkv[:, d:2 * d].reshape(b, h_heads, hd, 1)
+        v_new = qkv[:, 2 * d:].reshape(b, h_heads, hd, 1)
         k_all = jax.lax.dynamic_update_slice(
-            cache["k"][li], k_new, (0, 0, idx, 0))
+            cache["k"][li], k_new, (0, 0, 0, idx))
         v_all = jax.lax.dynamic_update_slice(
-            cache["v"][li], v_new, (0, 0, idx, 0))
+            cache["v"][li], v_new, (0, 0, 0, idx))
         new_k.append(k_all)
         new_v.append(v_all)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all,
-                            preferred_element_type=jnp.float32)[:, :, 0, :] \
-            * scale
+        logits = jnp.einsum("bhd,bhdk->bhk", q, k_all,
+                            preferred_element_type=jnp.float32) * scale
         logits = jnp.where(attn_mask, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
-        attn = jnp.einsum("bhk,bhkd->bhd", probs, v_all,
+        attn = jnp.einsum("bhk,bhdk->bhd", probs, v_all,
                           preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + nn.linear(bp["self_o"], attn.reshape(b, d))
 
@@ -305,13 +320,18 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
         if attn_impl == "flash":
             from audio_transformers_tpu.ops.decode_attention import (
                 decode_attention)
-            cattn = decode_attention(cq, cross["k"][li], cross["v"][li],
+            # experimental kernel wants (B, H, T, hd)
+            cattn = decode_attention(cq,
+                                     cross["k"][li].transpose(0, 1, 3, 2),
+                                     cross["v"][li].transpose(0, 1, 3, 2),
                                      scale=scale).astype(x.dtype)
         else:
-            clogits = jnp.einsum("bhd,bhkd->bhk", cq, cross["k"][li],
+            # cross K/V are (B, H, hd, T): both contractions stream the
+            # big arrays with T on the minor (lane) axis
+            clogits = jnp.einsum("bhd,bhdk->bhk", cq, cross["k"][li],
                                  preferred_element_type=jnp.float32) * scale
             cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
-            cattn = jnp.einsum("bhk,bhkd->bhd", cprobs, cross["v"][li],
+            cattn = jnp.einsum("bhk,bhdk->bhd", cprobs, cross["v"][li],
                                preferred_element_type=jnp.float32
                                ).astype(x.dtype)
         x = x + nn.linear(bp["cross_o"], cattn.reshape(b, d))

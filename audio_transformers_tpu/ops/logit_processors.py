@@ -63,12 +63,13 @@ def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
     starts = jnp.arange(num_windows)
     # window fully inside history: start + n - 1 < pos
     valid = (starts[None, :] + (n - 1)) < pos
-    flags = (match & valid).astype(logits.dtype)
     cont = tokens[:, n - 1: n - 1 + num_windows]  # continuation tokens
-    banned = jnp.zeros_like(logits).at[
-        jnp.arange(b)[:, None], cont].max(flags)
+    # bool scatter: 4x less HBM traffic than an fp32 (B, V) buffer — the
+    # processor chain runs inside the decode loop every step
+    banned = jnp.zeros(logits.shape, bool).at[
+        jnp.arange(b)[:, None], cont].max(match & valid)
     active = pos >= n  # need a full (n-1)-gram of history
-    return jnp.where(active & (banned > 0), NEG_INF, logits)
+    return jnp.where(active & banned, NEG_INF, logits)
 
 
 def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
