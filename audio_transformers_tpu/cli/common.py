@@ -42,7 +42,8 @@ def build_classifier_batchers(args) -> Tuple:
         src = SyntheticClassification(
             num_samples=args.limit_samples or 64, seed=args.seed)
     return get_batchers(src, batch_size=args.batch_size,
-                        val_split=args.val_split, seed=args.seed)
+                        val_split=args.val_split, seed=args.seed,
+                        num_workers=getattr(args, "num_workers", 0))
 
 
 def get_tokenizer(name_or_path: Optional[str]):

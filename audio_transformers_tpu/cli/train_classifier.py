@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default="synthetic",
                    choices=["urbansound8k", "local", "synthetic"])
     p.add_argument("--data_dir", default=None)
+    # background host prefetch (the reference's DataLoader num_workers=4,
+    # urban_sounds/dataset.py:98-99); 0 = synchronous
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--wandb_project", default="mlx-audio-models")

@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--num_samples", type=int, default=64,
                    help="synthetic dataset size")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="background host-prefetch threads (0 = sync)")
     return p.parse_args(argv)
 
 
@@ -92,8 +94,10 @@ def main(argv=None):
                                   warmup_fraction=0.1))
 
     out = train_whisper_emotion(
-        cfg, mel_cfg, train_cfg, train_ds.batcher(args.batch_size),
-        val_ds.batcher(args.batch_size), init_params=init_params,
+        cfg, mel_cfg, train_cfg,
+        train_ds.batcher(args.batch_size, num_workers=args.num_workers),
+        val_ds.batcher(args.batch_size, num_workers=args.num_workers),
+        init_params=init_params,
         style_to_idx=style_to_idx, output_dir=args.output_dir,
         wandb_project=args.wandb_project)
     print(f"best val loss: {out['best_val_loss']:.4f}")

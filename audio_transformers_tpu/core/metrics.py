@@ -67,8 +67,15 @@ class MetricLogger:
 
 
 class StepTimer:
-    """Throughput meter: wall-clock per step with device sync, giving the
-    clips/sec/chip north-star metric (SURVEY.md §5 tracing prescription)."""
+    """Throughput meter: wall-clock per step with a TRUE device sync,
+    giving the clips/sec/chip north-star metric (SURVEY.md §5 tracing
+    prescription).
+
+    Syncing goes through `core.profiling.sync` (host fetch of one scalar)
+    because `jax.block_until_ready` returns early on the axon TPU tunnel.
+    Call `rates(sync_tree=last_step_output)` BEFORE any eval work so the
+    window measures training only. `data_tick` accumulates time spent
+    blocked on the host input pipeline, reported separately."""
 
     def __init__(self):
         self.reset()
@@ -77,17 +84,22 @@ class StepTimer:
         self._start = time.perf_counter()
         self._steps = 0
         self._items = 0
+        self._data_wait = 0.0
 
     def tick(self, items: int = 0):
         self._steps += 1
         self._items += items
 
-    def rates(self, sync_array=None) -> dict:
-        if sync_array is not None:
-            import jax
-            jax.block_until_ready(sync_array)
+    def data_tick(self, seconds: float):
+        self._data_wait += seconds
+
+    def rates(self, sync_tree=None) -> dict:
+        if sync_tree is not None:
+            from audio_transformers_tpu.core.profiling import sync
+            sync(sync_tree)
         dt = time.perf_counter() - self._start
-        out = {"steps_per_sec": self._steps / dt if dt else 0.0}
+        out = {"steps_per_sec": self._steps / dt if dt else 0.0,
+               "data_wait_s": self._data_wait}
         if self._items:
             out["items_per_sec"] = self._items / dt if dt else 0.0
         return out

@@ -32,11 +32,17 @@ def trace(logdir: str):
 
 
 def sync(tree) -> None:
-    """True device sync: fetch one scalar element per leaf's first entry.
-    (jax.block_until_ready returns early on the axon TPU tunnel.)"""
+    """True device sync: host-fetch ONE scalar from the last leaf.
+    (jax.block_until_ready returns early on the axon TPU tunnel, and
+    fetching a whole array would ship it over the tunnel at ~60 MB/s —
+    so index down to a scalar ON DEVICE, then fetch only that.)"""
     leaves = jax.tree.leaves(tree)
-    if leaves:
-        np.asarray(jax.tree.leaves(tree)[-1]).ravel()[:1]
+    if not leaves:
+        return
+    x = leaves[-1]
+    if hasattr(x, "ndim") and getattr(x, "ndim", 0):
+        x = x.reshape(-1)[0]  # device-side index -> 0-d array
+    np.asarray(x)
 
 
 def timed(fn: Callable, *args, reps: int = 10, warmup: int = 1,

@@ -82,8 +82,10 @@ class ExpressoSource:
             "emotion_labels": np.int32(emotion),
         }
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)
 
 
 def create_dataset(tokenizer: Tokenizer, *,
@@ -158,8 +160,10 @@ class SyntheticExpresso:
     def __call__(self, i: int):
         return self.inner(i)
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)
 
     def splits(self, *, test_size: float = 0.1, val_size: float = 0.1,
                seed: int = 42):
@@ -186,5 +190,7 @@ class _SubsetSource:
     def __call__(self, i: int):
         return self.base(int(self.indices[i]))
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)

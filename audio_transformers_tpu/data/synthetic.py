@@ -52,8 +52,10 @@ class SyntheticClassification:
             "label": np.int32(label),
         }
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)
 
 
 class SyntheticSeq2Seq:
@@ -100,5 +102,7 @@ class SyntheticSeq2Seq:
             "emotion_labels": base["label"],
         }
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)

@@ -115,6 +115,41 @@ class UrbanSoundLocalSource:
                                   duration=self.duration)
         return {"waveform": wav, "label": np.int32(label)}
 
+    def prefetch_iter(self, indices, *, num_threads: int = 4):
+        """Stream samples for `indices` (in order) from the C++ prefetch
+        pool — decode/resample/pad/normalize run in native worker threads,
+        overlapping the training step (the reference hides the same work in
+        DataLoader worker processes, urban_sounds/dataset.py:98-99).
+        Returns None when the native library isn't available so the caller
+        can fall back to its generic thread-pool tier."""
+        if not self.use_native:
+            return None
+        return self._native_stream(list(indices), num_threads)
+
+    def _native_stream(self, indices, num_threads: int):
+        from audio_transformers_tpu.data import native_loader as nl
+
+        target_len = int(self.sample_rate * self.duration)
+        with nl.PrefetchPool(num_threads=num_threads,
+                             target_rate=self.sample_rate,
+                             target_len=target_len, normalize=True) as pool:
+            n = len(indices)
+            submitted = popped = 0
+            while popped < n:
+                while submitted < n:
+                    i = int(indices[submitted])
+                    path = os.path.join(self.data_dir, self.rows[i][0])
+                    if not pool.submit(path, i):
+                        break  # queue full; drain one first
+                    submitted += 1
+                clip, tag, ok = pool.pop()
+                popped += 1
+                if ok:
+                    yield {"waveform": clip,
+                           "label": np.int32(self.rows[tag][1])}
+                else:  # unreadable/corrupt file: python path decides
+                    yield self(tag)
+
 
 class _Subset:
     def __init__(self, base, indices):
@@ -130,14 +165,27 @@ class _Subset:
     def __call__(self, i: int):
         return self.base(int(self.indices[i]))
 
-    def batcher(self, batch_size: int, seed: int = 42) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed)
+    def prefetch_iter(self, indices, *, num_threads: int = 4):
+        base_fn = getattr(self.base, "prefetch_iter", None)
+        if base_fn is None:
+            return None
+        return base_fn([int(self.indices[i]) for i in indices],
+                       num_threads=num_threads)
+
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> Batcher:
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)
 
 
 def get_batchers(source, *, batch_size: int = 32, val_split: float = 0.2,
-                 seed: int = 42) -> Tuple[Batcher, Batcher]:
+                 seed: int = 42, num_workers: int = 0
+                 ) -> Tuple[Batcher, Batcher]:
     """Seeded train/val split -> (train_batcher, val_batcher); the
-    reference get_dataloaders contract (urban_sounds/dataset.py:73-101)."""
+    reference get_dataloaders contract (urban_sounds/dataset.py:73-101,
+    incl. its num_workers=4 prefetch, dataset.py:98-99)."""
     tr, va = random_split(source.num_samples, val_split, seed=seed)
-    return (_Subset(source, tr).batcher(batch_size, seed=seed),
-            _Subset(source, va).batcher(batch_size, seed=seed))
+    return (_Subset(source, tr).batcher(batch_size, seed=seed,
+                                        num_workers=num_workers),
+            _Subset(source, va).batcher(batch_size, seed=seed,
+                                        num_workers=num_workers))

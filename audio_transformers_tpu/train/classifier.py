@@ -12,6 +12,7 @@ copies and `.item()` syncs, train_classifier.py:20,27).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, Optional
 
 import jax
@@ -139,9 +140,16 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
     timer = StepTimer()
     for epoch in range(start_epoch, train_cfg.num_epochs):
         # device-side metric accumulation; one host fetch per epoch
+        timer.reset()
         step_metrics = []
         n_batches = 0
-        for batch in train_batcher.train_epochs(epoch=epoch):
+        batches = train_batcher.train_epochs(epoch=epoch)
+        while True:
+            t0 = time.perf_counter()
+            batch = next(batches, None)
+            timer.data_tick(time.perf_counter() - t0)
+            if batch is None:
+                break
             rng, step_key = jax.random.split(rng)
             params, state, opt_state, m = train_step(
                 params, state, opt_state, shard_batch(batch, mesh), step_key)
@@ -149,6 +157,9 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
             n_batches += 1
             step += 1
             timer.tick(items=train_cfg.batch_size)
+        # train-only rates: sync on the last step's metrics BEFORE eval
+        rates = timer.rates(sync_tree=step_metrics[-1]
+                            if step_metrics else None)
         ep_loss = float(sum(m["loss"] for m in step_metrics)) \
             if step_metrics else 0.0
         ep_acc = float(sum(m["accuracy"] for m in step_metrics)) \
@@ -161,8 +172,6 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
         else:
             lr = train_cfg.optimizer.learning_rate
 
-        rates = timer.rates()
-        timer.reset()
         row = {
             "epoch": epoch + 1,
             "train/loss": ep_loss / max(n_batches, 1),
@@ -171,6 +180,7 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
             "val/accuracy": val["accuracy"],
             "lr": lr,
             "clips_per_sec": rates.get("items_per_sec", 0.0),
+            "data_wait_s": rates.get("data_wait_s", 0.0),
         }
         history.append(row)
         log.log(row, step=step)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -93,16 +94,23 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
 
     @jax.jit
     def eval_step(params, batch):
+        """Masked SUMS (not per-batch means): wrap-padded duplicate rows in
+        the final eval batch must not bias val loss — it drives
+        best-checkpoint selection. The aggregation to means happens over
+        true sample/token counts in `evaluate`."""
         logits, emotion_logits = _forward(params, batch, remat=False)
-        out = dual_loss(logits, emotion_logits, batch["labels"],
-                        batch["emotion_labels"], pad_token_id=pad,
-                        emotion_weight=train_cfg.emotion_weight)
+        targets = batch["labels"][:, 1:]
         valid = batch["valid"].astype(jnp.float32)
+        tok_mask = (targets != pad).astype(jnp.float32) * valid[:, None]
+        per_tok = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), targets)
+        per_emo = optax.softmax_cross_entropy_with_integer_labels(
+            emotion_logits.astype(jnp.float32), batch["emotion_labels"])
         correct = (jnp.argmax(emotion_logits, -1) == batch["emotion_labels"])
         return {
-            "loss": out["loss"],
-            "transcription_loss": out["transcription_loss"],
-            "emotion_loss": out["emotion_loss"],
+            "transcription_sum": jnp.sum(per_tok * tok_mask),
+            "token_count": jnp.sum(tok_mask),
+            "emotion_sum": jnp.sum(per_emo * valid),
             "correct": jnp.sum(correct.astype(jnp.float32) * valid),
             "count": jnp.sum(valid),
         }
@@ -110,20 +118,20 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     return train_step, eval_step
 
 
-def evaluate(eval_step, params, batcher, mesh) -> Dict[str, float]:
-    sums = {"loss": 0.0, "transcription_loss": 0.0, "emotion_loss": 0.0}
-    correct = count = 0.0
-    n_batches = 0
+def evaluate(eval_step, params, batcher, mesh, *,
+             emotion_weight: float = 0.5) -> Dict[str, float]:
+    sums = {"transcription_sum": 0.0, "token_count": 0.0,
+            "emotion_sum": 0.0, "correct": 0.0, "count": 0.0}
     for batch in batcher.eval_batches():
         out = eval_step(params, shard_batch(batch, mesh))
         for k in sums:
             sums[k] += float(out[k])
-        correct += float(out["correct"])
-        count += float(out["count"])
-        n_batches += 1
-    n = max(n_batches, 1)
-    return {**{k: v / n for k, v in sums.items()},
-            "emotion_accuracy": correct / max(count, 1.0)}
+    transcription = sums["transcription_sum"] / max(sums["token_count"], 1.0)
+    emotion = sums["emotion_sum"] / max(sums["count"], 1.0)
+    return {"loss": transcription + emotion_weight * emotion,
+            "transcription_loss": transcription,
+            "emotion_loss": emotion,
+            "emotion_accuracy": sums["correct"] / max(sums["count"], 1.0)}
 
 
 def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
@@ -179,9 +187,16 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     for epoch in range(start_epoch, train_cfg.num_epochs):
         # accumulate metrics as device scalars; fetch ONCE per epoch (a
         # per-step float() would force a host sync every step)
+        timer.reset()
         step_metrics = []
         n = 0
-        for batch in train_batcher.train_epochs(epoch=epoch):
+        batches = train_batcher.train_epochs(epoch=epoch)
+        while True:
+            t0 = time.perf_counter()
+            batch = next(batches, None)
+            timer.data_tick(time.perf_counter() - t0)
+            if batch is None:
+                break
             params, opt_state, m = train_step(params, opt_state,
                                               shard_batch(batch, mesh))
             step_metrics.append(m)
@@ -189,16 +204,19 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
             step += 1
             timer.tick(items=train_cfg.batch_size)
 
+        # train-only rates: sync on the last step's metrics BEFORE eval
+        rates = timer.rates(sync_tree=step_metrics[-1]
+                            if step_metrics else None)
         acc = {k: float(sum(m[k] for m in step_metrics))
                for k in step_metrics[0]} if step_metrics else {}
-        val = evaluate(eval_step, params, val_batcher, mesh)
-        rates = timer.rates()
-        timer.reset()
+        val = evaluate(eval_step, params, val_batcher, mesh,
+                       emotion_weight=train_cfg.emotion_weight)
         row = {
             "epoch": epoch + 1,
             **{f"train/{k}": v / max(n, 1) for k, v in acc.items()},
             **{f"val/{k}": v for k, v in val.items()},
             "clips_per_sec": rates.get("items_per_sec", 0.0),
+            "data_wait_s": rates.get("data_wait_s", 0.0),
         }
         history.append(row)
         log.log(row, step=step)
