@@ -35,11 +35,19 @@ from audio_transformers_tpu.ops.mel import log_mel
 
 
 def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
-                  dcfg: DecodeConfig, waveform, prompt, compute_dtype):
+                  dcfg: DecodeConfig, waveform, prompt, compute_dtype,
+                  *, tokenizer=None, suppress_ids=None):
     w = cfg.whisper
+    if suppress_ids is None:
+        suppress_ids = wdecode.default_suppress_ids(w)
     mel = log_mel(jnp.asarray(waveform), mel_cfg).astype(compute_dtype)
     enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
-    out = wdecode.generate(params["whisper"], w, dcfg, enc, prompt=prompt)
+    # generate_with_fallback is a plain generate when
+    # dcfg.compression_ratio_threshold is unset
+    out = wdecode.generate_with_fallback(params["whisper"], w, dcfg, enc,
+                                         prompt=prompt,
+                                         suppress_ids=tuple(suppress_ids),
+                                         tokenizer=tokenizer)
     return out
 
 
@@ -63,7 +71,7 @@ def evaluate_sequence_level(params, cfg: EmotionWhisperConfig,
     gt_texts, pred_texts = [], []
     for batch in batcher.eval_batches():
         out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
-                            prompt, compute_dtype)
+                            prompt, compute_dtype, tokenizer=tokenizer)
         emotion_logits = emo.sequence_emotion_from_hiddens(
             params, out["hiddens"], out["lengths"])
         preds = np.asarray(jnp.argmax(emotion_logits, -1))
@@ -141,10 +149,13 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
     """Timestamped decode -> per-segment emotion; ground truth is the
     sample's emotion replicated per segment (reference evaluate.py:292-299).
     Decode defaults mirror evaluate.py:41-58 (timestamps on, rep penalty
-    1.1, no_repeat_ngram 3, max 256 new tokens)."""
+    1.1, no_repeat_ngram 3, max 256 new tokens, and the whisper
+    anti-repetition fallback: compression_ratio_threshold=2.4 triggers a
+    temperature-0.7 re-decode of degenerate rows)."""
     dcfg = dcfg or DecodeConfig(max_new_tokens=256, return_timestamps=True,
                                 no_repeat_ngram_size=3,
-                                repetition_penalty=1.1)
+                                repetition_penalty=1.1,
+                                compression_ratio_threshold=2.4)
     w = cfg.whisper
     prompt = wdecode.build_prompt(w, dcfg)
 
@@ -153,7 +164,7 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
     log_lines = ["===== TRANSCRIPTION AND EMOTION PREDICTIONS =====", ""]
     for batch in batcher.eval_batches():
         out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
-                            prompt, compute_dtype)
+                            prompt, compute_dtype, tokenizer=tokenizer)
         seg = emo.segment_emotion_from_decode(params, cfg, out,
                                               prompt_len=len(prompt),
                                               max_segments=max_segments)
@@ -170,8 +181,13 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
                 tokens[b], int(lengths[b]), len(prompt),
                 w.timestamp_begin_id, tokenizer)
             log_lines.append("Segment-by-segment analysis:")
-            for s in range(int(nsegs[b])):
-                if counts[b, s] <= 0 and s > 0:
+            # device segment id s == host span ordinal s (both count
+            # end-timestamp boundaries), so iterate every slot and skip
+            # empty ones consistently — iterating range(num_segments)
+            # would silently drop trailing segments when a middle one is
+            # empty (counts = [3, 0, 2] has num_segments == 2)
+            for s in range(counts.shape[1]):
+                if counts[b, s] <= 0:
                     continue
                 gt_all.append(gt)
                 pred_all.append(int(seg_preds[b, s]))

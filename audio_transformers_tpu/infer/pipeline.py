@@ -46,7 +46,8 @@ class EmotionWhisperPipeline:
     def __init__(self, params: dict, cfg: EmotionWhisperConfig,
                  mel_cfg: Optional[MelConfig] = None,
                  idx_to_label: Optional[Dict[int, str]] = None,
-                 tokenizer=None, compute_dtype=jnp.bfloat16):
+                 tokenizer=None, compute_dtype=jnp.bfloat16,
+                 suppress_ids=None):
         self.params = params
         self.cfg = cfg
         self.mel_cfg = mel_cfg or MelConfig.whisper(n_mels=cfg.whisper.n_mels)
@@ -54,6 +55,12 @@ class EmotionWhisperPipeline:
             enumerate(DEFAULT_EMOTION_LABELS))
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
+        # Non-speech suppress list: real pretrained checkpoints rely on it
+        # (the reference inherits it from generation_config.json through HF
+        # generate); default by vocab, overridable from checkpoint metadata.
+        self.suppress_ids = tuple(
+            suppress_ids if suppress_ids is not None
+            else wdecode.default_suppress_ids(cfg.whisper))
         # model window in samples: enc positions * conv stride * hop
         # (whisper-tiny: 1500 * 2 * 160 = 30 s @ 16 kHz)
         self._window = (cfg.whisper.max_source_positions * 2
@@ -82,8 +89,10 @@ class EmotionWhisperPipeline:
         if meta.get("style_to_idx"):
             idx_to_label = {int(v): k
                             for k, v in meta["style_to_idx"].items()}
+        suppress = meta.get("suppress_ids")
         return cls(params, cfg, mel_cfg, idx_to_label, tokenizer=tokenizer,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype,
+                   suppress_ids=tuple(suppress) if suppress else None)
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, tokenizer=None,
@@ -119,14 +128,31 @@ class EmotionWhisperPipeline:
             whisper=whisper_cfg,
             num_emotion_classes=num_emotion_classes)
         whisper_params, emotion = from_torch_state_dict(sd, cfg.whisper)
-        params = {"whisper": whisper_params,
-                  "emotion_head": emotion or {}}
+        if not emotion:
+            # vanilla whisper export without an emotion_classifier: fresh
+            # random head, matching the reference loader's behavior
+            # (load_emotion_whisper_model builds the head anew,
+            # whisper_finetune/model.py:110-127)
+            from audio_transformers_tpu.ops import nn
+            emotion = nn.linear_init(jax.random.PRNGKey(0),
+                                     cfg.whisper.d_model,
+                                     cfg.num_emotion_classes)
+        params = {"whisper": whisper_params, "emotion_head": emotion}
         idx_to_label = None
         lm = os.path.join(model_dir, "style_to_id.txt")
         if os.path.exists(lm):
             idx_to_label = {v: k for k, v in load_label_map(lm).items()}
+        # suppress lists travel in generation_config.json for HF exports
+        suppress = None
+        gc_path = os.path.join(model_dir, "generation_config.json")
+        if os.path.exists(gc_path):
+            with open(gc_path) as f:
+                gc = json.load(f)
+            if gc.get("suppress_tokens"):
+                suppress = tuple(int(t) for t in gc["suppress_tokens"])
         return cls(params, cfg, idx_to_label=idx_to_label,
-                   tokenizer=tokenizer, compute_dtype=compute_dtype)
+                   tokenizer=tokenizer, compute_dtype=compute_dtype,
+                   suppress_ids=suppress)
 
     # ------------------------------------------------------------------
     def _prep(self, waveform: np.ndarray, sr: int) -> np.ndarray:
@@ -142,8 +168,9 @@ class EmotionWhisperPipeline:
             .astype(self.compute_dtype)
         enc = wm.encode_jit(self.params["whisper"], w, mel,
                             attn_impl="auto")
-        out = wdecode.generate(self.params["whisper"], w, dcfg, enc,
-                               prompt=prompt)
+        out = wdecode.generate_with_fallback(
+            self.params["whisper"], w, dcfg, enc, prompt=prompt,
+            suppress_ids=self.suppress_ids, tokenizer=self.tokenizer)
         out["prompt_len"] = len(prompt)
         return out
 

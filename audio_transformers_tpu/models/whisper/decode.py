@@ -44,6 +44,15 @@ WHISPER_MULTILINGUAL_SUPPRESS: Tuple[int, ...] = (
 )
 
 
+def default_suppress_ids(cfg: WhisperConfig) -> Tuple[int, ...]:
+    """The non-speech suppress list a real pretrained whisper checkpoint
+    carries in its generation_config.json (the reference gets it implicitly
+    through HF generate). Only meaningful for the real multilingual vocab;
+    from-scratch/test vocabs get no suppression."""
+    return (WHISPER_MULTILINGUAL_SUPPRESS
+            if cfg.vocab_size in (51865, 51866) else ())
+
+
 def build_prompt(cfg: WhisperConfig, dcfg: DecodeConfig) -> Tuple[int, ...]:
     """The forced decoder prefix: <|startoftranscript|> [lang] [task]
     [<|notimestamps|>]. Equivalent to HF forced_decoder_ids, which the
@@ -188,3 +197,61 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     lengths = jnp.where(any_eos, first_eos + 1, L).astype(jnp.int32)
 
     return {"tokens": tokens, "hiddens": hiddens, "lengths": lengths}
+
+
+def generate_with_fallback(params: dict, cfg: WhisperConfig,
+                           dcfg: DecodeConfig, enc: jax.Array, *,
+                           prompt: Optional[Tuple[int, ...]] = None,
+                           suppress_ids: Tuple[int, ...] = (),
+                           tokenizer=None,
+                           rng: Optional[jax.Array] = None,
+                           fallback_temperature: float = 0.7) -> dict:
+    """Decode with whisper's anti-repetition fallback: rows whose
+    transcript's zlib compression ratio exceeds
+    `dcfg.compression_ratio_threshold` are re-decoded with temperature
+    sampling (0.7). Equivalent to the reference segment evaluator's
+    `generate(temperature=0.7, compression_ratio_threshold=2.4, ...)`
+    (reference: whisper_finetune/evaluate.py:41-58, HF's whisper
+    temperature-fallback ladder).
+
+    TPU note: the re-decode runs the whole batch through the (separately
+    compiled) sampling variant and keeps only the flagged rows — two fixed
+    programs instead of HF's per-sample host loop. Without a tokenizer the
+    ratio is computed over the raw token-id bytes (repetitions compress the
+    same way).
+    """
+    import numpy as np
+
+    from audio_transformers_tpu.infer.metrics import compression_ratio
+
+    out = generate(params, cfg, dcfg, enc, prompt=prompt,
+                   suppress_ids=suppress_ids)
+    threshold = dcfg.compression_ratio_threshold
+    if not threshold:
+        return out
+    if prompt is None:
+        prompt = build_prompt(cfg, dcfg)
+    p_len = len(prompt)
+    tokens = np.asarray(out["tokens"])
+    lengths = np.asarray(out["lengths"])
+    flagged = []
+    for b in range(tokens.shape[0]):
+        ids = tokens[b, p_len: int(lengths[b])]
+        if tokenizer is not None:
+            sample = tokenizer.decode([int(t) for t in ids])
+        else:
+            sample = ids.astype(np.int32).tobytes()
+        flagged.append(compression_ratio(sample) > threshold)
+    if not any(flagged):
+        return out
+
+    hot = dcfg.replace(temperature=fallback_temperature)
+    resampled = generate(params, cfg, hot, enc, prompt=prompt,
+                         suppress_ids=suppress_ids,
+                         rng=rng if rng is not None else jax.random.PRNGKey(0))
+    sel = jnp.asarray(flagged)
+    merged = {}
+    for k in ("tokens", "hiddens", "lengths"):
+        shape = (-1,) + (1,) * (out[k].ndim - 1)
+        merged[k] = jnp.where(sel.reshape(shape), resampled[k], out[k])
+    return merged

@@ -200,3 +200,83 @@ def test_timestamped_decode_produces_valid_structure(hf_pair):
         assert gen[0] >= cfg.timestamp_begin_id, gen
         ts = [t for t in gen if t >= cfg.timestamp_begin_id]
         assert ts == sorted(ts), ts
+
+
+class TestTemperatureFallback:
+    """compression_ratio_threshold triggers a temperature re-decode of
+    degenerate rows only (reference evaluate.py:41-58 semantics)."""
+
+    class _FakeTok:
+        """Flags row content by what it decodes to: ids are ignored, the
+        first call returns degenerate text, later calls clean text."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def decode(self, ids):
+            self.calls += 1
+            if self.calls == 1:
+                return "ha ha ha " * 60          # compresses far above 2.4
+            return f"clean unique text {self.calls} with entropy 9q3z"
+
+    def _enc(self, cfg, params, batch=2):
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.standard_normal(
+            (batch, 2 * cfg.max_source_positions, cfg.n_mels))
+            .astype(np.float32))
+        return wm.encode(params, cfg, mel)
+
+    def test_flagged_row_redecoded_clean_row_kept(self, hf_pair):
+        _, cfg, params = hf_pair
+        enc = self._enc(cfg, params)
+        dcfg = DecodeConfig(max_new_tokens=12,
+                            compression_ratio_threshold=2.4)
+        greedy = wdecode.generate(params, cfg, dcfg, enc)
+        hot = wdecode.generate(params, cfg,
+                               dcfg.replace(temperature=0.7), enc,
+                               rng=jax.random.PRNGKey(0))
+        out = wdecode.generate_with_fallback(
+            params, cfg, dcfg, enc, tokenizer=self._FakeTok(),
+            rng=jax.random.PRNGKey(0))
+        # row 0 was flagged -> temperature decode; row 1 stays greedy
+        np.testing.assert_array_equal(np.asarray(out["tokens"][0]),
+                                      np.asarray(hot["tokens"][0]))
+        np.testing.assert_array_equal(np.asarray(out["tokens"][1]),
+                                      np.asarray(greedy["tokens"][1]))
+        np.testing.assert_array_equal(np.asarray(out["lengths"]),
+                                      np.asarray([hot["lengths"][0],
+                                                  greedy["lengths"][1]]))
+
+    def test_no_threshold_is_plain_greedy(self, hf_pair):
+        _, cfg, params = hf_pair
+        enc = self._enc(cfg, params)
+        dcfg = DecodeConfig(max_new_tokens=12)
+        greedy = wdecode.generate(params, cfg, dcfg, enc)
+        out = wdecode.generate_with_fallback(params, cfg, dcfg, enc,
+                                             tokenizer=self._FakeTok())
+        np.testing.assert_array_equal(np.asarray(out["tokens"]),
+                                      np.asarray(greedy["tokens"]))
+
+    def test_clean_rows_skip_redecode(self, hf_pair):
+        """No flagged rows -> the sampling variant is never compiled/run."""
+        _, cfg, params = hf_pair
+        enc = self._enc(cfg, params)
+        dcfg = DecodeConfig(max_new_tokens=12,
+                            compression_ratio_threshold=2.4)
+
+        class CleanTok:
+            def decode(self, ids):
+                return f"all clean {sorted(set(ids))} xyzw"
+
+        greedy = wdecode.generate(params, cfg, dcfg, enc)
+        out = wdecode.generate_with_fallback(params, cfg, dcfg, enc,
+                                             tokenizer=CleanTok())
+        np.testing.assert_array_equal(np.asarray(out["tokens"]),
+                                      np.asarray(greedy["tokens"]))
+
+    def test_default_suppress_ids_by_vocab(self):
+        from audio_transformers_tpu.core.config import WhisperConfig
+
+        assert wdecode.default_suppress_ids(WhisperConfig.tiny()) \
+            == wdecode.WHISPER_MULTILINGUAL_SUPPRESS
+        assert wdecode.default_suppress_ids(WhisperConfig.test()) == ()

@@ -248,3 +248,59 @@ def test_compression_ratio():
     assert compression_ratio("a" * 400) > 2.4         # degenerate repetition
     assert compression_ratio("The quick brown fox jumps.") < 1.5
     assert compression_ratio("") == 0.0
+
+
+class TestSegmentSpanAlignment:
+    """Empty middle segment: device segment ids and host text/time spans
+    must stay aligned by the shared ordinal (round-1 defect: iterating
+    range(num_segments) dropped trailing segments when a middle one was
+    empty and mislabeled their spans)."""
+
+    def test_empty_middle_segment(self, tmp_path, monkeypatch):
+        from audio_transformers_tpu.core.config import DecodeConfig
+        from audio_transformers_tpu.infer import evaluate as ev
+
+        w = TINY.whisper
+        ts = w.timestamp_begin_id
+        # prompt=[start]; pairs (0.00,0.10) "10 11", (0.10,0.14) empty,
+        # (0.18,0.24) "12"; then EOS
+        # text tokens must sit BELOW timestamp_begin (4 in the test vocab)
+        row = [w.decoder_start_token_id,
+               ts + 0, 2, 3, ts + 5,
+               ts + 5, ts + 7,
+               ts + 9, 2, ts + 12,
+               w.eos_token_id, w.eos_token_id]
+        tokens = jnp.asarray([row], jnp.int32)
+        rng = np.random.default_rng(0)
+        hiddens = jnp.asarray(rng.standard_normal(
+            (1, len(row), w.d_model)).astype(np.float32))
+        lengths = jnp.asarray([11], jnp.int32)
+
+        monkeypatch.setattr(
+            ev, "_decode_batch",
+            lambda *a, **k: {"tokens": tokens, "hiddens": hiddens,
+                             "lengths": lengths})
+
+        class OneBatch:
+            def eval_batches(self):
+                yield {"waveform": np.zeros((1, 16000), np.float32),
+                       "emotion_labels": np.asarray([2]),
+                       "valid": np.asarray([True])}
+
+        params = emo.init(jax.random.PRNGKey(0), TINY)
+        res = ev.evaluate_segment_level(
+            params, TINY, MelConfig.whisper(), OneBatch(),
+            {i: f"style{i}" for i in range(4)},
+            output_dir=str(tmp_path),
+            dcfg=DecodeConfig(max_new_tokens=10, return_timestamps=True),
+            max_segments=4, compute_dtype=jnp.float32)
+
+        # two non-empty device segments -> two prediction rows
+        assert res["total_segments"] == 2
+        log = open(tmp_path / "predictions.txt").read()
+        # first segment: pair (0.00, 0.10)
+        assert "Segment 1 (0.0s - 0.1s):" in log
+        # third device segment aligns with the THIRD host span (0.18-0.24),
+        # not the second (0.10-0.14)
+        assert "Segment 3 (0.2s - 0.2s):" in log
+        assert "Segment 2 (" not in log
