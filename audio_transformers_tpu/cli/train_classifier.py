@@ -34,6 +34,12 @@ def parse_args(argv=None):
     # background host prefetch (the reference's DataLoader num_workers=4,
     # urban_sounds/dataset.py:98-99); 0 = synchronous
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--spec_augment", action="store_true",
+                   help="SpecAugment time/freq masking post-mel")
+    p.add_argument("--norm_type", default="batch",
+                   choices=["batch", "group"],
+                   help="batch matches the reference BatchNorm1d; group "
+                        "is the stateless DP-friendly alternative")
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--wandb_project", default="mlx-audio-models")
@@ -55,7 +61,8 @@ def main(argv=None):
         n_mels=args.n_mels, conv_dim=args.conv_dim,
         encoder_dim=args.encoder_dim,
         num_encoder_blocks=args.num_encoder_blocks,
-        num_heads=args.num_heads, dropout=args.dropout)
+        num_heads=args.num_heads, dropout=args.dropout,
+        norm_type=args.norm_type)
     mel_cfg = MelConfig.urbansound(n_mels=args.n_mels)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, num_epochs=args.epochs, seed=args.seed,
@@ -63,6 +70,7 @@ def main(argv=None):
         optimizer=OptimizerConfig(name="adam", learning_rate=args.lr,
                                   schedule="reduce_on_plateau",
                                   plateau_patience=5),
+        spec_augment=args.spec_augment,
         checkpoint_dir=f"{args.output_dir}/checkpoints")
 
     train_b, val_b = build_classifier_batchers(args)

@@ -40,6 +40,8 @@ def parse_args(argv=None):
                    help="synthetic dataset size")
     p.add_argument("--num_workers", type=int, default=4,
                    help="background host-prefetch threads (0 = sync)")
+    p.add_argument("--spec_augment", action="store_true",
+                   help="SpecAugment time/freq masking post-mel")
     return p.parse_args(argv)
 
 
@@ -89,6 +91,7 @@ def main(argv=None):
         batch_size=args.batch_size, num_epochs=args.num_epochs,
         seed=args.seed, compute_dtype=args.compute_dtype,
         emotion_weight=args.emotion_weight,
+        spec_augment=args.spec_augment,
         optimizer=OptimizerConfig(name="adamw", learning_rate=args.lr,
                                   schedule="linear_warmup_decay",
                                   warmup_fraction=0.1))

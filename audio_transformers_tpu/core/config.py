@@ -309,6 +309,10 @@ class TrainConfig(_ConfigBase):
     # bf16 activations on TPU; params stay fp32.
     compute_dtype: str = "bfloat16"
     emotion_weight: float = 0.5       # dual-loss mix (reference train.py:227)
+    # SpecAugment time/freq masking applied post-mel in the train step
+    # (ops/specaugment.py; off by default — the reference trains without
+    # feature augmentation)
+    spec_augment: bool = False
     log_every: int = 10
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3

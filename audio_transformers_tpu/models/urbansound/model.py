@@ -33,8 +33,34 @@ from audio_transformers_tpu.core.pytree import split_keys
 from audio_transformers_tpu.ops import nn
 
 
+def _norm_groups(dim: int) -> int:
+    g = 32
+    while dim % g:
+        g //= 2
+    return max(g, 1)
+
+
+def _norm_init(cfg: UrbanSoundConfig, dim: int) -> Tuple[dict, dict]:
+    """norm_type="batch": BatchNorm params + running-stat state (reference
+    BatchNorm1d). norm_type="group": GroupNorm params, empty state — the
+    DP-friendly deviation (no cross-replica running stats)."""
+    if cfg.norm_type == "group":
+        return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}, {}
+    return nn.batch_norm_init(dim)
+
+
+def _norm_apply(cfg: UrbanSoundConfig, p: dict, s: dict, x: jax.Array, *,
+                training: bool) -> Tuple[jax.Array, dict]:
+    if cfg.norm_type == "group":
+        return nn.group_norm(p, x, num_groups=_norm_groups(
+            p["scale"].shape[0])), s
+    return nn.batch_norm(p, s, x, training=training)
+
+
 def init(key: jax.Array, cfg: UrbanSoundConfig) -> Tuple[dict, dict]:
     """Returns (params, state). state holds BatchNorm running stats."""
+    if cfg.norm_type not in ("batch", "group"):
+        raise ValueError(f"unknown norm_type {cfg.norm_type!r}")
     ks = split_keys(key, ["conv1", "conv2", "proj", "blocks", "cnn", "cls"])
     params: dict = {}
     state: dict = {}
@@ -43,8 +69,8 @@ def init(key: jax.Array, cfg: UrbanSoundConfig) -> Tuple[dict, dict]:
                                      cfg.conv_kernel)
     params["conv2"] = nn.conv1d_init(ks["conv2"], cfg.conv_dim, cfg.conv_dim,
                                      cfg.conv_kernel)
-    params["bn1"], state["bn1"] = nn.batch_norm_init(cfg.conv_dim)
-    params["bn2"], state["bn2"] = nn.batch_norm_init(cfg.conv_dim)
+    params["bn1"], state["bn1"] = _norm_init(cfg, cfg.conv_dim)
+    params["bn2"], state["bn2"] = _norm_init(cfg, cfg.conv_dim)
 
     if cfg.conv_dim != cfg.encoder_dim:
         params["proj"] = nn.linear_init(ks["proj"], cfg.conv_dim,
@@ -70,7 +96,7 @@ def init(key: jax.Array, cfg: UrbanSoundConfig) -> Tuple[dict, dict]:
     ckeys = jax.random.split(ks["cnn"], len(cfg.cnn_dims))
     in_dim = cfg.encoder_dim
     for ck, dim in zip(ckeys, cfg.cnn_dims):
-        bn_p, bn_s = nn.batch_norm_init(dim)
+        bn_p, bn_s = _norm_init(cfg, dim)
         params["cnn"].append({
             "conv": nn.conv1d_init(ck, in_dim, dim, 3),
             "bn": bn_p,
@@ -116,12 +142,12 @@ def apply(params: dict, state: dict, cfg: UrbanSoundConfig, mel: jax.Array, *,
 
     # Conv front-end (time stride 2 on the second conv).
     x = nn.conv1d(params["conv1"], x, padding=cfg.conv_kernel // 2)
-    x, new_state["bn1"] = nn.batch_norm(params["bn1"], state["bn1"], x,
-                                        training=training)
+    x, new_state["bn1"] = _norm_apply(cfg, params["bn1"], state["bn1"], x,
+                                      training=training)
     x = nn.gelu(x)
     x = nn.conv1d(params["conv2"], x, stride=2, padding=cfg.conv_kernel // 2)
-    x, new_state["bn2"] = nn.batch_norm(params["bn2"], state["bn2"], x,
-                                        training=training)
+    x, new_state["bn2"] = _norm_apply(cfg, params["bn2"], state["bn2"], x,
+                                      training=training)
     x = nn.gelu(x)
 
     if "proj" in params:
@@ -139,7 +165,7 @@ def apply(params: dict, state: dict, cfg: UrbanSoundConfig, mel: jax.Array, *,
     # CNN head + global average pool over time.
     for p, s in zip(params["cnn"], state["cnn"]):
         x = nn.conv1d(p["conv"], x, padding=1)
-        x, ns = nn.batch_norm(p["bn"], s, x, training=training)
+        x, ns = _norm_apply(cfg, p["bn"], s, x, training=training)
         new_state["cnn"].append(ns)
         x = nn.gelu(x)
     x = jnp.mean(x, axis=1)

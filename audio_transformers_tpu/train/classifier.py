@@ -40,6 +40,10 @@ def make_steps(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
     def _forward(params, state, waveform, *, training, rng=None):
         mel = log_mel(waveform, mel_cfg)
         mel = mel.astype(compute_dtype)
+        if train_cfg.spec_augment and training and rng is not None:
+            from audio_transformers_tpu.ops.specaugment import spec_augment
+            rng, sa_key = jax.random.split(rng)
+            mel = spec_augment(sa_key, mel)
         return urbansound.apply(params, state, model_cfg, mel,
                                 training=training, rng=rng)
 

@@ -71,26 +71,39 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     compute_dtype = jnp.dtype(train_cfg.compute_dtype)
     pad = cfg.whisper.pad_token_id
 
-    def _forward(params, batch, *, remat):
+    def _forward(params, batch, *, remat, rng=None):
         mel = log_mel(batch["waveform"], mel_cfg).astype(compute_dtype)
+        if train_cfg.spec_augment and rng is not None:
+            from audio_transformers_tpu.ops.specaugment import spec_augment
+            mel = spec_augment(rng, mel)
         dec_in = batch["labels"][:, :-1]
         return emo.forward_train(params, cfg, mel, dec_in, remat=remat,
                                  attn_impl=train_cfg.attn_impl)
 
-    def _loss(params, batch):
+    def _loss(params, batch, rng=None):
         logits, emotion_logits = _forward(params, batch,
-                                          remat=train_cfg.remat)
+                                          remat=train_cfg.remat, rng=rng)
         out = dual_loss(logits, emotion_logits, batch["labels"],
                         batch["emotion_labels"], pad_token_id=pad,
                         emotion_weight=train_cfg.emotion_weight)
         return out["loss"], out
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch):
-        grads, metrics = jax.grad(_loss, has_aux=True)(params, batch)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+    if train_cfg.spec_augment:
+        # augmented variant threads a per-step PRNG key for the masks
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            grads, metrics = jax.grad(_loss, has_aux=True)(params, batch,
+                                                           rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch):
+            grads, metrics = jax.grad(_loss, has_aux=True)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
 
     @jax.jit
     def eval_step(params, batch):
@@ -172,6 +185,7 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     history = []
     step = 0
     start_epoch = 0
+    rng = jax.random.PRNGKey(train_cfg.seed + 1)  # spec-augment mask keys
     if resume_ckpt is not None and resume_ckpt.latest_step() is not None:
         tree, meta, rstep = resume_ckpt.restore(
             like={"params": params, "opt_state": opt_state})
@@ -197,8 +211,13 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
             timer.data_tick(time.perf_counter() - t0)
             if batch is None:
                 break
-            params, opt_state, m = train_step(params, opt_state,
-                                              shard_batch(batch, mesh))
+            if train_cfg.spec_augment:
+                rng, step_key = jax.random.split(rng)
+                params, opt_state, m = train_step(
+                    params, opt_state, shard_batch(batch, mesh), step_key)
+            else:
+                params, opt_state, m = train_step(params, opt_state,
+                                                  shard_batch(batch, mesh))
             step_metrics.append(m)
             n += 1
             step += 1

@@ -170,8 +170,9 @@ def classifier_to_torch_state_dict(params: dict, state: dict
     def bn(name, p, s):
         sd[f"{name}.weight"] = _t(p["scale"])
         sd[f"{name}.bias"] = _t(p["bias"])
-        sd[f"{name}.running_mean"] = _t(s["mean"])
-        sd[f"{name}.running_var"] = _t(s["var"])
+        if "mean" in s:  # group-norm variant carries no running stats
+            sd[f"{name}.running_mean"] = _t(s["mean"])
+            sd[f"{name}.running_var"] = _t(s["var"])
 
     def ln(name, p):
         sd[f"{name}.weight"] = _t(p["scale"])
