@@ -100,11 +100,15 @@ def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
            remat: bool = False, attn_impl: str = "xla") -> jax.Array:
     """mel: (B, T_mel, n_mels) -> encoder states (B, T_mel//2, d_model).
 
-    attn_impl: "xla" (differentiable; training) | "flash" (fused Pallas
-    kernel, forward-only; inference) | "auto" (flash on TPU, else xla).
+    attn_impl: "xla" | "flash" (fused Pallas kernel) | "auto".
+    "auto" resolves to XLA here: for a pure forward pass the
+    transpose-free XLA formulation measures FASTER than the flash kernel
+    on v5e (74 vs 99 ms, whisper-tiny batch 128) — flash earns its keep in
+    training, where its custom-VJP backward wins (44.6 vs 59.9 ms/step);
+    the trainers resolve their own "auto" to flash on TPU (train/*.py).
     """
     if attn_impl == "auto":
-        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        attn_impl = "xla"
     p = params["encoder"]
     x = nn.gelu(nn.conv1d(p["conv1"], mel, padding=1))
     x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
@@ -144,9 +148,12 @@ def apply_decoder(params: dict, cfg: WhisperConfig, enc: jax.Array,
     Causal self-attention only (no padding mask) — deliberately matching the
     reference's teacher-forced training which passes no decoder attention
     mask (reference: whisper_finetune/train.py:195-202).
+
+    "auto" -> XLA (inference-forward default; see `encode`). Trainers
+    resolve their own "auto" to flash on TPU.
     """
     if attn_impl == "auto":
-        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        attn_impl = "xla"
     p = params["decoder"]
     t = tokens.shape[1]
     x = nn.embedding_lookup(p["embed"], tokens)
