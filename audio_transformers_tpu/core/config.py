@@ -277,6 +277,12 @@ class DecodeConfig(_ConfigBase):
     forced_language_token: Optional[int] = None   # e.g. <|en|>
     forced_task_token: Optional[int] = None       # e.g. <|transcribe|>
     suppress_blank: bool = True
+    # "none" | "int8": quantize the precomputed cross-attention K/V to int8
+    # (per-key / per-channel scales, int8 MXU matmuls). Decode is bound by
+    # re-reading cross-K/V from HBM every step — int8 halves that traffic.
+    # Off by default: greedy token parity with fp32/bf16 decode is only
+    # approximate under quantization.
+    kv_quant: str = "none"
 
 
 # ---------------------------------------------------------------------------

@@ -72,15 +72,36 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     dcfg: DecodeConfig, prompt_len: int,
                     suppress_ids: Tuple[int, ...],
                     begin_suppress_ids: Tuple[int, ...]):
-    logits = lp.suppress_tokens(logits, suppress_ids)
-    logits = lp.suppress_tokens_at(logits, begin_suppress_ids, pos,
-                                   prompt_len)
+    # Fused composition of the HF chain (suppress -> begin-suppress ->
+    # repetition penalty -> no-repeat-ngram), identical math but one
+    # elementwise pass over the (B, V) logits: the processor chain runs
+    # inside the decode loop EVERY step, and each materialized (B, V) fp32
+    # intermediate is ~100 MB of HBM round-trip at batch 128.
+    vocab = logits.shape[-1]
+    static_mask = None  # (V,) bool, position-independent
+    if len(suppress_ids):
+        static_mask = jnp.zeros((vocab,), bool).at[
+            jnp.asarray(list(suppress_ids), jnp.int32)].set(True)
+    mask = None  # (B, V) or (1, V) bool -> NEG_INF
+    if len(begin_suppress_ids):
+        begin = jnp.zeros((vocab,), bool).at[
+            jnp.asarray(list(begin_suppress_ids), jnp.int32)].set(True)
+        mask = (pos == prompt_len) & begin[None, :]
+    if static_mask is not None:
+        mask = static_mask[None, :] if mask is None \
+            else mask | static_mask[None, :]
+    if mask is not None:
+        logits = jnp.where(mask, lp.NEG_INF, logits)
     if dcfg.repetition_penalty != 1.0:
-        logits = lp.repetition_penalty(logits, tokens, pos,
-                                       dcfg.repetition_penalty)
-    if dcfg.no_repeat_ngram_size:
-        logits = lp.no_repeat_ngram(logits, tokens, pos,
-                                    dcfg.no_repeat_ngram_size)
+        seen = lp.seen_mask(tokens, pos, vocab)
+        p = dcfg.repetition_penalty
+        logits = jnp.where(seen & (logits > 0), logits / p,
+                           jnp.where(seen, logits * p, logits))
+    if dcfg.no_repeat_ngram_size and \
+            tokens.shape[1] >= dcfg.no_repeat_ngram_size:
+        banned = lp.ngram_banned_mask(tokens, pos,
+                                      dcfg.no_repeat_ngram_size, vocab)
+        logits = jnp.where(banned, lp.NEG_INF, logits)
     if dcfg.return_timestamps:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,
@@ -123,7 +144,8 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
     hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
     cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype)
-    cross = wm.precompute_cross_attention(params, cfg, enc)
+    cross = wm.precompute_cross_attention(params, cfg, enc,
+                                          quant=dcfg.kv_quant)
     # Weights cast to the compute dtype ONCE, outside the loop; otherwise
     # every step re-reads the fp32 copies from HBM (decode is
     # bandwidth-bound — this alone is worth ~2x per step in bf16).

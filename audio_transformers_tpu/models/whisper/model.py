@@ -245,7 +245,8 @@ def prepare_decode_params(params: dict, cfg: WhisperConfig,
 
 
 def precompute_cross_attention(params: dict, cfg: WhisperConfig,
-                               enc: jax.Array) -> dict:
+                               enc: jax.Array, *,
+                               quant: str = "none") -> dict:
     """Cross-attn K/V depend only on encoder output — compute once per
     audio segment instead of per decode step (the reference re-encodes audio
     for its second emotion pass; evaluate_simple.py:141-143).
@@ -255,7 +256,12 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
     64-wide minor dim to the TPU's 128 lanes, physically DOUBLING the
     hundreds of MB of cross-K/V that decode re-reads every step. With
     T_enc=1500 (or 750 after the conv stride) on lanes the padding is
-    ~2%, and both per-step contractions stream the arrays at full width."""
+    ~2%, and both per-step contractions stream the arrays at full width.
+
+    quant="int8": store K/V as int8 (K scaled per key vector, V per
+    channel) so each decode step reads HALF the bytes and the two
+    contractions run on the MXU's int8 path. Decode at batch 128 is
+    bound by this re-read (~1.2 GB/step in bf16 for whisper-tiny)."""
     ks, vs = [], []
     for bp in params["decoder"]["blocks"]:
         k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
@@ -264,7 +270,26 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
                            cfg.num_heads)
         ks.append(k.transpose(0, 1, 3, 2))  # (B, H, hd, T)
         vs.append(v.transpose(0, 1, 3, 2))
-    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+    k = jnp.stack(ks)  # (L, B, H, hd, T)
+    v = jnp.stack(vs)
+    if quant == "none":
+        return {"k": k, "v": v}
+    if quant != "int8":
+        raise ValueError(f"unknown kv_quant {quant!r}")
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    # K: scale per key vector (over head_dim) — logits_t = <q, k_t> scales
+    # linearly in k_scale_t, folded back after the int8 matmul.
+    k_scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=3, keepdims=True),
+                          1e-6) / 127.0                # (L,B,H,1,T)
+    # V: scale per output channel (over time) — attn_d = sum_t p_t v_dt.
+    v_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=4, keepdims=True),
+                          1e-6) / 127.0                # (L,B,H,hd,1)
+    k_q = jnp.round(k32 / k_scale).astype(jnp.int8)
+    v_q = jnp.round(v32 / v_scale).astype(jnp.int8)
+    return {"k": k_q, "v": v_q,
+            "k_scale": k_scale[:, :, :, 0, :],         # (L,B,H,T)
+            "v_scale": v_scale[:, :, :, :, 0]}         # (L,B,H,hd)
 
 
 def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
@@ -324,7 +349,28 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
 
         h = nn.layer_norm(bp["cross_ln"], x)
         cq = nn.linear(bp["cross_q"], h).reshape(b, h_heads, hd)
-        if attn_impl == "flash":
+        if "k_scale" in cross:
+            # int8 cross-K/V: quantize q per (b, h) row, run both
+            # contractions as int8 MXU matmuls, fold the scales back in
+            # fp32. Halves the dominant per-step HBM read.
+            cq32 = cq.astype(jnp.float32)
+            q_scale = jnp.maximum(jnp.max(jnp.abs(cq32), axis=-1,
+                                          keepdims=True), 1e-6) / 127.0
+            q_i8 = jnp.round(cq32 / q_scale).astype(jnp.int8)
+            cl_i32 = jnp.einsum("bhd,bhdk->bhk", q_i8, cross["k"][li],
+                                preferred_element_type=jnp.int32)
+            clogits = (cl_i32.astype(jnp.float32) * q_scale
+                       * cross["k_scale"][li] * scale)
+            cprobs = jax.nn.softmax(clogits, axis=-1)
+            # per-row scale (max prob / 127): full int8 resolution even
+            # when attention is flat and the max prob is far below 1
+            p_scale = jnp.max(cprobs, axis=-1, keepdims=True) / 127.0
+            p_i8 = jnp.round(cprobs / p_scale).astype(jnp.int8)
+            ca_i32 = jnp.einsum("bhk,bhdk->bhd", p_i8, cross["v"][li],
+                                preferred_element_type=jnp.int32)
+            cattn = (ca_i32.astype(jnp.float32) * p_scale
+                     * cross["v_scale"][li]).astype(x.dtype)
+        elif attn_impl == "flash":
             from audio_transformers_tpu.ops.decode_attention import (
                 decode_attention)
             # experimental kernel wants (B, H, T, hd)

@@ -44,15 +44,11 @@ def suppress_tokens_at(logits: jax.Array, token_ids: Sequence[int],
     return jnp.where(pos == at_pos, suppressed, logits)
 
 
-def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
-                    n: int) -> jax.Array:
-    """Ban tokens that would complete an n-gram already present in
+def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
+                      vocab: int) -> jax.Array:
+    """(B, V) bool: tokens that would complete an n-gram already present in
     tokens[:, :pos]. `tokens` is the fixed-size buffer (B, L)."""
-    if n <= 0:
-        return logits
     b, length = tokens.shape
-    if length < n:
-        return logits
     # last (n-1)-gram ending at pos-1
     last = jax.lax.dynamic_slice(
         tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))  # (B, n-1)
@@ -66,10 +62,28 @@ def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
     cont = tokens[:, n - 1: n - 1 + num_windows]  # continuation tokens
     # bool scatter: 4x less HBM traffic than an fp32 (B, V) buffer — the
     # processor chain runs inside the decode loop every step
-    banned = jnp.zeros(logits.shape, bool).at[
+    banned = jnp.zeros((b, vocab), bool).at[
         jnp.arange(b)[:, None], cont].max(match & valid)
     active = pos >= n  # need a full (n-1)-gram of history
-    return jnp.where(active & banned, NEG_INF, logits)
+    return active & banned
+
+
+def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
+                    n: int) -> jax.Array:
+    """Ban tokens that would complete an n-gram already present in
+    tokens[:, :pos]."""
+    if n <= 0 or tokens.shape[1] < n:
+        return logits
+    banned = ngram_banned_mask(tokens, pos, n, logits.shape[-1])
+    return jnp.where(banned, NEG_INF, logits)
+
+
+def seen_mask(tokens: jax.Array, pos: jax.Array, vocab: int) -> jax.Array:
+    """(B, V) bool: token ids occurring in tokens[:, :pos]."""
+    b, length = tokens.shape
+    in_history = jnp.arange(length)[None, :] < pos
+    return jnp.zeros((b, vocab), bool).at[
+        jnp.arange(b)[:, None], tokens].max(in_history)
 
 
 def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
@@ -77,10 +91,7 @@ def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
     """HF CTRL-style penalty over tokens seen in tokens[:, :pos]."""
     if penalty == 1.0:
         return logits
-    b, length = tokens.shape
-    in_history = jnp.arange(length)[None, :] < pos
-    seen = jnp.zeros_like(logits, dtype=bool).at[
-        jnp.arange(b)[:, None], tokens].max(in_history)
+    seen = seen_mask(tokens, pos, logits.shape[-1])
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
 

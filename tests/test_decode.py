@@ -280,3 +280,53 @@ class TestTemperatureFallback:
         assert wdecode.default_suppress_ids(WhisperConfig.tiny()) \
             == wdecode.WHISPER_MULTILINGUAL_SUPPRESS
         assert wdecode.default_suppress_ids(WhisperConfig.test()) == ()
+
+
+class TestInt8CrossKV:
+    """DecodeConfig.kv_quant="int8": quantized cross-attention K/V
+    (per-key / per-channel scales, int8 matmuls) must stay numerically
+    close to the exact path and produce near-identical greedy decodes."""
+
+    def test_step_hidden_close_to_exact(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=11)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        exact = wm.precompute_cross_attention(params, cfg, enc)
+        quant = wm.precompute_cross_attention(params, cfg, enc,
+                                              quant="int8")
+        tok = jnp.asarray([1, 2, 3], jnp.int32)
+        sp = wm.prepare_decode_params(params, cfg)
+        h_exact, _ = wm.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, 3, max_len=8), exact,
+            step_params=sp)
+        h_quant, _ = wm.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, 3, max_len=8), quant,
+            step_params=sp)
+        err = np.abs(np.asarray(h_quant) - np.asarray(h_exact))
+        ref = np.abs(np.asarray(h_exact)).mean()
+        assert err.mean() / ref < 0.05, (err.mean(), ref)
+
+    def test_generate_matches_greedy_tokens(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=12)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        base = DecodeConfig(max_new_tokens=10)
+        out = wdecode.generate(params, cfg, base, enc,
+                               prompt=(cfg.decoder_start_token_id,),
+                               begin_suppress_ids=())
+        out_q = wdecode.generate(params, cfg,
+                                 base.replace(kv_quant="int8"), enc,
+                                 prompt=(cfg.decoder_start_token_id,),
+                                 begin_suppress_ids=())
+        t, tq = np.asarray(out["tokens"]), np.asarray(out_q["tokens"])
+        # random-weight logits are near-degenerate, so allow a small
+        # divergence; with real checkpoints the argmax gap is far wider
+        agree = (t == tq).mean()
+        assert agree >= 0.8, (agree, t, tq)
+
+    def test_unknown_quant_rejected(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(1, 2 * cfg.max_source_positions, cfg.n_mels)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        with pytest.raises(ValueError):
+            wm.precompute_cross_attention(params, cfg, enc, quant="fp4")
