@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--max_segments", type=int, default=16)
+    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+                   help="int8-quantize the decode cross-attention K/V "
+                        "(~30%% faster per token, approximate parity)")
     return p.parse_args(argv)
 
 
@@ -53,10 +56,17 @@ def main(argv=None):
         args, tokenizer, duration=duration, vocab_size=w.vocab_size)
     idx_to_style = {v: k for k, v in style_to_idx.items()}
 
+    from audio_transformers_tpu.core.config import DecodeConfig
+
+    # reference decode surface (evaluate.py:41-58) + the kv_quant knob
+    dcfg = DecodeConfig(max_new_tokens=256, return_timestamps=True,
+                        no_repeat_ngram_size=3, repetition_penalty=1.1,
+                        compression_ratio_threshold=2.4,
+                        kv_quant=args.kv_quant)
     result = evaluate_segment_level(
         pipe.params, pipe.cfg, pipe.mel_cfg,
         test_ds.batcher(args.batch_size), idx_to_style,
-        tokenizer=tokenizer, output_dir=args.output_dir,
+        tokenizer=tokenizer, output_dir=args.output_dir, dcfg=dcfg,
         max_segments=args.max_segments, compute_dtype=pipe.compute_dtype)
 
     print(f"Total segments evaluated: {result['total_segments']}")

@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--max_new_tokens", type=int, default=100)
+    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+                   help="int8-quantize the decode cross-attention K/V "
+                        "(~30%% faster per token, approximate parity)")
     return p.parse_args(argv)
 
 
@@ -57,7 +60,8 @@ def main(argv=None):
     idx_to_style = {v: k for k, v in style_to_idx.items()}
 
     dcfg = DecodeConfig(max_new_tokens=args.max_new_tokens,
-                        no_repeat_ngram_size=3, repetition_penalty=1.15)
+                        no_repeat_ngram_size=3, repetition_penalty=1.15,
+                        kv_quant=args.kv_quant)
     result = evaluate_sequence_level(
         pipe.params, pipe.cfg, pipe.mel_cfg,
         test_ds.batcher(args.batch_size), idx_to_style,

@@ -276,17 +276,21 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
         return {"k": k, "v": v}
     if quant != "int8":
         raise ValueError(f"unknown kv_quant {quant!r}")
-    k32 = k.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
+    # Reductions run on the storage dtype and only the (small) scales are
+    # f32 — an fp32 copy of K/V here would materialize ~1.2 GB twice
+    # (whisper-tiny, batch 128); the per-element convert fuses into the
+    # quantizing division instead.
     # K: scale per key vector (over head_dim) — logits_t = <q, k_t> scales
     # linearly in k_scale_t, folded back after the int8 matmul.
-    k_scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=3, keepdims=True),
-                          1e-6) / 127.0                # (L,B,H,1,T)
+    k_scale = jnp.maximum(
+        jnp.max(jnp.abs(k), axis=3, keepdims=True).astype(jnp.float32),
+        1e-6) / 127.0                                  # (L,B,H,1,T)
     # V: scale per output channel (over time) — attn_d = sum_t p_t v_dt.
-    v_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=4, keepdims=True),
-                          1e-6) / 127.0                # (L,B,H,hd,1)
-    k_q = jnp.round(k32 / k_scale).astype(jnp.int8)
-    v_q = jnp.round(v32 / v_scale).astype(jnp.int8)
+    v_scale = jnp.maximum(
+        jnp.max(jnp.abs(v), axis=4, keepdims=True).astype(jnp.float32),
+        1e-6) / 127.0                                  # (L,B,H,hd,1)
+    k_q = jnp.round(k.astype(jnp.float32) / k_scale).astype(jnp.int8)
+    v_q = jnp.round(v.astype(jnp.float32) / v_scale).astype(jnp.int8)
     return {"k": k_q, "v": v_q,
             "k_scale": k_scale[:, :, :, 0, :],         # (L,B,H,T)
             "v_scale": v_scale[:, :, :, :, 0]}         # (L,B,H,hd)

@@ -1,17 +1,17 @@
 """Headline benchmark: whisper-tiny end-to-end inference throughput on one
 TPU chip, plus MFU and train-step visibility.
 
-Pipeline measured per batch of 30 s clips: fused Pallas mel front-end ->
-encoder -> KV-cached greedy decode (64 tokens, jit'd while_loop with the
-full logit-processor stack the reference uses via HF generate) -> emotion
-head.
+Pipeline measured per batch of 30 s clips: fused mel front-end -> encoder
+-> KV-cached greedy decode (64 tokens, jit'd while_loop with the full
+logit-processor stack the reference uses via HF generate) -> emotion head.
 
 Prints ONE JSON line. Required fields:
   {"metric": "whisper_tiny_rtfx_30s", "value": <x realtime per chip>,
    "unit": "x_realtime", "vs_baseline": value / 20.0}
 plus measured extras: mfu (pipeline FLOPs from XLA cost analysis over the
-v5e bf16 peak), pipeline_ms, decode_ms_per_step_b128, train_step_ms_b16,
-train_clips_per_sec.
+v5e bf16 peak), pipeline_ms, rtfx_int8_kv (same pipeline with int8
+cross-KV decode, DecodeConfig.kv_quant), decode_ms_per_step_b128 (+ int8
+variant), train_step_ms_b16, train_clips_per_sec.
 
 Baseline: the reference publishes no throughput number (BASELINE.md); the
 driver's north star is >= 20x realtime per chip, so vs_baseline is the
@@ -19,8 +19,12 @@ ratio against that target. NOTE: the headline decodes 64 new tokens per
 clip; the reference eval protocol decodes up to 100-128 — per-token decode
 cost is what transfers, reported separately.
 
-Timing rule (axon tunnel): block_until_ready returns early; every timing
-window ends with a host fetch of ONE scalar from the last rep's output.
+Timing rules (axon tunnel):
+- block_until_ready returns early; every timing window ends with a host
+  fetch of ONE scalar from the last rep's output.
+- each dispatched executable costs ~15-40 ms of tunnel RPC overhead, so
+  repetitions are chained INSIDE one executable (lax.scan) and two chain
+  lengths are differenced — the reported times are pure device time.
 """
 
 from __future__ import annotations
@@ -57,11 +61,10 @@ def main():
     cfg = EmotionWhisperConfig()
     w = cfg.whisper
     mel_cfg = MelConfig.whisper()
-    dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
-                        repetition_penalty=1.15)
 
     batch = 128 if on_tpu else 2
     clip_secs = 30.0
+    lo, hi, reps = (1, 5, 3) if on_tpu else (1, 2, 1)
     rng = np.random.default_rng(0)
     waveform = jnp.asarray(
         (rng.standard_normal((batch, int(mel_cfg.sample_rate * clip_secs)))
@@ -69,9 +72,8 @@ def main():
 
     params = emo.init(jax.random.PRNGKey(0), cfg)
     compute = jnp.bfloat16 if on_tpu else jnp.float32
-    prompt = wdecode.build_prompt(w, dcfg)
 
-    def pipeline(params, waveform):
+    def pipeline(params, waveform, dcfg, prompt):
         mel = log_mel(waveform, mel_cfg).astype(compute)
         enc = wm.encode(params["whisper"], w, mel, attn_impl="auto")
         out = wdecode.generate(params["whisper"], w, dcfg, enc,
@@ -80,33 +82,35 @@ def main():
             params, out["hiddens"], out["lengths"])
         return out["tokens"], out["lengths"], emotion
 
-    fn = jax.jit(pipeline)
-
-    # FLOP count for MFU from XLA's own cost model (counts the decode loop
-    # body once per trip via the while-loop trip-count bound).
-    flops_per_batch = None
-    try:
-        cost = fn.lower(params, waveform).compile().cost_analysis()
-        if cost:
-            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops_per_batch = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
-    def sync(out):
-        # device executes its queue in-order: fetch once from the last rep
-        return int(np.asarray(out[1].reshape(-1)[0]))
-
-    sync(fn(params, waveform))  # compile + warm
-
-    reps = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(params, waveform)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    def chained_pipeline_s(kv_quant: str) -> float:
+        """Steady-state seconds per pipeline invocation (scan-chained,
+        differenced between two chain lengths)."""
+        dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
+                            repetition_penalty=1.15, kv_quant=kv_quant)
+        prompt = wdecode.build_prompt(w, dcfg)
+        ts = {}
+        for n in (lo, hi):
+            @jax.jit
+            def fn(params, waveform, n=n):
+                def body(c, _):
+                    # the carry perturbation keeps each iteration live
+                    # (not CSE'd/hoisted); numerically it is a no-op
+                    _, lengths, _ = pipeline(params, waveform + c * 1e-30,
+                                             dcfg, prompt)
+                    return jnp.sum(lengths).astype(jnp.float32) * 1e-30, \
+                        None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return c.reshape(1)
+            _sync_scalar(fn(params, waveform))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(params, waveform)
+            _sync_scalar(out)
+            ts[n] = (time.perf_counter() - t0) / reps
+        return (ts[hi] - ts[lo]) / (hi - lo)
 
     audio_secs = batch * clip_secs
+    dt = chained_pipeline_s("none")
     rtfx = audio_secs / dt
     result = {
         "metric": "whisper_tiny_rtfx_30s",
@@ -116,26 +120,50 @@ def main():
         "pipeline_ms": round(dt * 1e3, 2),
         "batch": batch,
     }
-    if flops_per_batch:
-        result["mfu"] = round(flops_per_batch / dt / V5E_PEAK_BF16, 4) \
-            if on_tpu else None
+    if on_tpu:
+        dt_q = chained_pipeline_s("int8")
+        result["rtfx_int8_kv"] = round(audio_secs / dt_q, 2)
+
+    # FLOP count for MFU from XLA's own cost model (counts the decode loop
+    # body once per trip via the while-loop trip-count bound).
+    dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
+                        repetition_penalty=1.15)
+    prompt = wdecode.build_prompt(w, dcfg)
+    single = jax.jit(lambda p, wv: pipeline(p, wv, dcfg, prompt))
+    try:
+        cost = single.lower(params, waveform).compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_batch = float(cost.get("flops", 0.0)) or None
+            if flops_per_batch and on_tpu:
+                result["mfu"] = round(flops_per_batch / dt / V5E_PEAK_BF16,
+                                      4)
+    except Exception:
+        pass
 
     # --- decode per-step cost (differencing two token budgets) ----------
-    def timed_generate(n_tokens: int, mel) -> float:
-        d2 = dcfg.replace(max_new_tokens=n_tokens)
+    def decode_ms_per_step(kv_quant: str) -> float:
+        mel = log_mel(waveform, mel_cfg).astype(compute)
         enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
-        o = wdecode.generate(params["whisper"], w, d2, enc, prompt=prompt)
-        _sync_scalar(o["lengths"])
-        t0 = time.perf_counter()
-        for _ in range(reps // 2 or 1):
+
+        def timed(n_tokens: int) -> float:
+            d2 = dcfg.replace(max_new_tokens=n_tokens, kv_quant=kv_quant)
             o = wdecode.generate(params["whisper"], w, d2, enc,
                                  prompt=prompt)
-        _sync_scalar(o["lengths"])
-        return (time.perf_counter() - t0) / (reps // 2 or 1)
+            _sync_scalar(o["lengths"])
+            t0 = time.perf_counter()
+            for _ in range(4 if on_tpu else 1):
+                o = wdecode.generate(params["whisper"], w, d2, enc,
+                                     prompt=prompt)
+            _sync_scalar(o["lengths"])
+            return (time.perf_counter() - t0) / (4 if on_tpu else 1)
 
-    mel = log_mel(waveform, mel_cfg).astype(compute)
-    t_lo, t_hi = timed_generate(16, mel), timed_generate(64, mel)
-    result["decode_ms_per_step_b128"] = round((t_hi - t_lo) / 48 * 1e3, 3)
+        return (timed(64) - timed(16)) / 48 * 1e3
+
+    result["decode_ms_per_step_b128"] = round(decode_ms_per_step("none"), 3)
+    if on_tpu:
+        result["decode_ms_per_step_b128_int8kv"] = round(
+            decode_ms_per_step("int8"), 3)
 
     # --- train step (dual-loss fine-tune, batch 16, flash attention) ----
     tb = 16 if on_tpu else 2
@@ -145,8 +173,6 @@ def main():
                                                  schedule="constant"))
     tx = build_optimizer(tcfg.optimizer)
     train_step, _ = make_steps(cfg, mel_cfg, tcfg, tx)
-    tparams = emo.init(jax.random.PRNGKey(0), cfg)
-    opt_state = tx.init(tparams)
     labels = np.full((tb, 48), w.pad_token_id, np.int32)
     labels[:, 0] = w.decoder_start_token_id
     labels[:, 1:40] = rng.integers(100, 5000, (tb, 39))
@@ -158,14 +184,29 @@ def main():
             rng.integers(0, cfg.num_emotion_classes, tb).astype(np.int32)),
         "valid": jnp.ones((tb,), bool),
     }
-    tparams, opt_state, m = train_step(tparams, opt_state, dict(tbatch))
-    _sync_scalar(m["loss"])  # compile + warm
-    treps = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(treps):
-        tparams, opt_state, m = train_step(tparams, opt_state, dict(tbatch))
-    _sync_scalar(m["loss"])
-    tdt = (time.perf_counter() - t0) / treps
+
+    def chained_train_s() -> float:
+        ts = {}
+        for n in (lo, hi):
+            @jax.jit
+            def fn(params, batch, n=n):
+                opt_state = tx.init(params)
+                def body(carry, _):
+                    p, s = carry
+                    p, s, m = train_step(p, s, dict(batch))
+                    return (p, s), m["loss"]
+                (_, _), losses = jax.lax.scan(body, (params, opt_state),
+                                              None, length=n)
+                return losses[-1].reshape(1)
+            _sync_scalar(fn(params, tbatch))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(params, tbatch)
+            _sync_scalar(out)
+            ts[n] = (time.perf_counter() - t0) / reps
+        return (ts[hi] - ts[lo]) / (hi - lo)
+
+    tdt = chained_train_s()
     result["train_step_ms_b16"] = round(tdt * 1e3, 2)
     result["train_clips_per_sec"] = round(tb / tdt, 1)
 
