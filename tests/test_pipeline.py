@@ -219,6 +219,29 @@ class TestEvalAndInference:
         assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
         assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
 
+    def test_pipeline_kv_quant_int8(self, setup):
+        """kv_quant plumbs through to the decode loop and the CLIs expose
+        the flag (DecodeConfig.kv_quant; int8 cross-KV)."""
+        from audio_transformers_tpu.cli import evaluate as eval_cli
+        from audio_transformers_tpu.cli import evaluate_simple as seq_cli
+        from audio_transformers_tpu.infer.pipeline import (
+            EmotionWhisperPipeline)
+        from audio_transformers_tpu.utils.audio import synth_clip
+
+        tok, mel_cfg, ds, params = setup
+        pipe = EmotionWhisperPipeline(
+            params, TINY, mel_cfg,
+            idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+            tokenizer=tok, compute_dtype=jnp.float32, kv_quant="int8")
+        wav = synth_clip(2.0, 16000)
+        out = pipe.analyze(wav, 16000, segment_duration=1.0,
+                           max_new_tokens=6)
+        assert len(out["segments"]) == 2
+        assert seq_cli.parse_args(
+            ["--model_path", "x", "--kv_quant", "int8"]).kv_quant == "int8"
+        assert eval_cli.parse_args(
+            ["--model_path", "x", "--kv_quant", "int8"]).kv_quant == "int8"
+
 
 def test_classifier_torch_export_loads_into_reference_architecture(tmp_path):
     """The exported classifier state dict loads into a torch module with
