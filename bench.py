@@ -210,6 +210,57 @@ def main():
     result["train_step_ms_b16"] = round(tdt * 1e3, 2)
     result["train_clips_per_sec"] = round(tb / tdt, 1)
 
+    # --- UrbanSound classifier train step (batch 64, 4 s @ 22.05 kHz) ----
+    from audio_transformers_tpu.core.config import UrbanSoundConfig
+    from audio_transformers_tpu.train.classifier import (
+        make_steps as make_cls_steps)
+
+    ucfg = UrbanSoundConfig()
+    umel = MelConfig.urbansound()
+    ub = 64 if on_tpu else 4
+    utcfg = TrainConfig(batch_size=ub, compute_dtype=str(np.dtype(compute)),
+                        optimizer=OptimizerConfig(name="adam",
+                                                  learning_rate=1e-3,
+                                                  schedule="constant"))
+    utx = build_optimizer(utcfg.optimizer)
+    cls_step, _ = make_cls_steps(ucfg, umel, utcfg, utx)
+    from audio_transformers_tpu.models import urbansound
+    uparams, ustate = urbansound.init(jax.random.PRNGKey(0), ucfg)
+    ubatch = {
+        "waveform": jnp.asarray(
+            (rng.standard_normal((ub, int(umel.sample_rate * 4.0)))
+             * 0.1).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.integers(0, ucfg.num_classes, ub).astype(np.int32)),
+        "valid": jnp.ones((ub,), bool),
+    }
+
+    def chained_cls_s() -> float:
+        ts = {}
+        for n in (lo, hi):
+            @jax.jit
+            def fn(params, state, batch, n=n):
+                opt_state = utx.init(params)
+                def body(carry, _):
+                    p, s, o = carry
+                    p, s, o, m = cls_step(p, s, o, dict(batch),
+                                          jax.random.PRNGKey(0))
+                    return (p, s, o), m["loss"]
+                (_, _, _), losses = jax.lax.scan(
+                    body, (params, state, opt_state), None, length=n)
+                return losses[-1].reshape(1)
+            _sync_scalar(fn(uparams, ustate, ubatch))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(uparams, ustate, ubatch)
+            _sync_scalar(out)
+            ts[n] = (time.perf_counter() - t0) / reps
+        return (ts[hi] - ts[lo]) / (hi - lo)
+
+    cdt = chained_cls_s()
+    result["classifier_step_ms_b64"] = round(cdt * 1e3, 2)
+    result["classifier_clips_per_sec"] = round(ub / cdt, 1)
+
     print(json.dumps(result))
 
 

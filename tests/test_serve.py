@@ -1,0 +1,99 @@
+"""Serving-layer smoke tests: the stdlib HTTP server (the first-party
+equivalent of the reference's Streamlit demo, streamlit_app.py:37-119)
+must serve the page, health-check, and run the analyze path end-to-end
+over real HTTP."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
+                                                MelConfig, WhisperConfig)
+from audio_transformers_tpu.models.whisper import emotion as emo
+from audio_transformers_tpu.serve.http_server import make_handler
+from audio_transformers_tpu.utils.audio import synth_clip
+
+TINY = EmotionWhisperConfig(whisper=WhisperConfig.test(),
+                            num_emotion_classes=4)
+
+
+def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+
+    mel_cfg = MelConfig.whisper(n_mels=TINY.whisper.n_mels)
+    params = emo.init(jax.random.PRNGKey(0), TINY)
+    pipe = EmotionWhisperPipeline(
+        params, TINY, mel_cfg,
+        idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+        compute_dtype=jnp.float32)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(pipe, segment_duration=1.0))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_health_and_page(server):
+    with urllib.request.urlopen(f"{server}/health", timeout=30) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+    with urllib.request.urlopen(f"{server}/", timeout=30) as r:
+        body = r.read().decode()
+    assert "Audio Emotion Recognition" in body
+    assert "/analyze" in body
+
+
+def test_analyze_roundtrip(server):
+    sr = 16000
+    wav = synth_clip(1.6, sr)
+    req = urllib.request.Request(f"{server}/analyze",
+                                 data=_wav_bytes(wav, sr), method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+    assert isinstance(out["transcription"], str)
+    assert len(out["segments"]) == 2  # ceil(1.6 / 1.0)
+    seg = out["segments"][0]
+    assert set(seg) >= {"start", "end", "text", "emotion", "emotion_probs"}
+    assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-3
+    assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
+
+
+def test_bad_wav_is_400(server):
+    req = urllib.request.Request(f"{server}/analyze",
+                                 data=b"not a wav file", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc_info.value.code == 400
+    assert "error" in json.loads(exc_info.value.read())
+
+
+def test_unknown_paths_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e1:
+        urllib.request.urlopen(f"{server}/nope", timeout=30)
+    assert e1.value.code == 404
+    req = urllib.request.Request(f"{server}/nope", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        urllib.request.urlopen(req, timeout=30)
+    assert e2.value.code == 404
