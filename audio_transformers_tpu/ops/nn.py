@@ -233,6 +233,19 @@ def attention_weights(q: Array, k: Array, *, mask: Optional[Array] = None,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def _linear_heads(lin: dict, x: Array, num_heads: int) -> Array:
+    """Projection emitting (B, H, T, hd) directly (no materialized
+    transpose): x (B,T,D) @ w (D,H,hd) -> bhtk."""
+    d = lin["w"].shape[0]
+    hd = lin["w"].shape[1] // num_heads
+    w = lin["w"].astype(x.dtype).reshape(d, num_heads, hd)
+    y = jnp.einsum("btd,dhk->bhtk", x, w,
+                   preferred_element_type=jnp.float32)
+    if "b" in lin:
+        y = y + lin["b"].astype(jnp.float32).reshape(1, num_heads, 1, hd)
+    return y.astype(x.dtype)
+
+
 def split_heads(x: Array, num_heads: int) -> Array:
     b, t, d = x.shape
     return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -259,11 +272,24 @@ def multihead_attention(params: dict, q_in: Array, kv_in: Array, *,
     if impl == "flash":
         assert mask is None, "flash path supports only causal masking"
         from audio_transformers_tpu.ops.attention import flash_attention
-        q = split_heads(linear(params["q"], q_in), num_heads)
-        k = split_heads(linear(params["k"], kv_in), num_heads)
-        v = split_heads(linear(params["v"], kv_in), num_heads)
+        # Project straight into the kernel's head-major (B, H, T, hd)
+        # layout with 3-D-reshaped weights — XLA folds the permutation
+        # into the matmul epilogue instead of materializing the
+        # split_heads/merge_heads transposes. Same-process A/B (v5e,
+        # whisper-tiny encoder blocks, batch 16): 37.3 -> 36.0 ms
+        # fwd+bwd, consistent across rounds.
+        q = _linear_heads(params["q"], q_in, num_heads)
+        k = _linear_heads(params["k"], kv_in, num_heads)
+        v = _linear_heads(params["v"], kv_in, num_heads)
         out = flash_attention(q, k, v, causal=causal)
-        return linear(params["o"], merge_heads(out))
+        d = q_in.shape[-1]
+        hd = d // num_heads
+        w_o = params["o"]["w"].astype(out.dtype).reshape(num_heads, hd, -1)
+        y = jnp.einsum("bhtk,hkd->btd", out, w_o,
+                       preferred_element_type=jnp.float32)
+        if "b" in params["o"]:
+            y = y + params["o"]["b"].astype(jnp.float32)
+        return y.astype(q_in.dtype)
 
     # XLA path stays in (B, T, H, hd) — a pure reshape off the projection.
     # Materialized (B, H, T, hd) transposes are ~40 GB/s copies on TPU and
