@@ -261,6 +261,34 @@ def main():
     result["classifier_step_ms_b64"] = round(cdt * 1e3, 2)
     result["classifier_clips_per_sec"] = round(ub / cdt, 1)
 
+    # --- host input pipeline: C++ loader clips/s (decode+resample+pad) ---
+    # The device consumes train_clips_per_sec; the host must at least match
+    # it or training is input-bound (SURVEY §7 hard-part #6).
+    try:
+        import tempfile
+
+        from audio_transformers_tpu.data import native_loader as nl
+        from audio_transformers_tpu.utils.audio import synth_clip, write_wav
+
+        if nl.available():
+            with tempfile.TemporaryDirectory() as td:
+                import os as _os
+                paths = []
+                for i in range(64):
+                    p = _os.path.join(td, f"clip{i}.wav")
+                    write_wav(p, synth_clip(4.0, 22050, seed=i), 22050)
+                    paths.append(p)
+                list(nl.iter_clips(paths, target_rate=16000,
+                                   target_len=16000 * 4))  # warm
+                t0 = time.perf_counter()
+                n_ok = sum(1 for _, _, ok in nl.iter_clips(
+                    paths * 4, target_rate=16000, target_len=16000 * 4)
+                    if ok)
+                dt_l = time.perf_counter() - t0
+                result["loader_clips_per_sec"] = round(n_ok / dt_l, 1)
+    except Exception:
+        pass
+
     print(json.dumps(result))
 
 

@@ -105,6 +105,10 @@ static double bessel_i0(double x) {
 
 struct ResampleFilter {
     std::vector<double> h;
+    /* phase-major taps: poly[p][m] = h[p + m*up], contiguous per phase so
+     * the convolution inner loop runs over two dense streams (the strided
+     * h[base - k*up] walk defeats auto-vectorization) */
+    std::vector<std::vector<float>> poly;
     int up, down, half_len;
 };
 
@@ -134,7 +138,11 @@ static ResampleFilter design_filter(int in_rate, int out_rate) {
     }
     /* firwin normalizes DC gain to 1, then resample_poly scales by up */
     for (auto& v : h) v = v / sum * up;
-    return {std::move(h), up, down, half};
+    std::vector<std::vector<float>> poly((size_t)up);
+    for (int p = 0; p < up; p++)
+        for (int j = p; j < taps; j += up)
+            poly[(size_t)p].push_back((float)h[j]);
+    return {std::move(h), std::move(poly), up, down, half};
 }
 
 int64_t adc_resample_out_len(int64_t in_len, int32_t in_rate,
@@ -145,6 +153,20 @@ int64_t adc_resample_out_len(int64_t in_len, int32_t in_rate,
     return (in_len * up + down - 1) / down;
 }
 
+/* Filter design costs ~1 ms (thousands of Kaiser-windowed taps, e.g. 8821
+ * for 22050->16000) and depends only on the rate pair — cache per thread
+ * (lock-free; pool workers each keep their own copy). */
+static const ResampleFilter& cached_filter(int32_t in_rate,
+                                           int32_t out_rate) {
+    thread_local std::map<uint64_t, ResampleFilter> cache;
+    uint64_t key = ((uint64_t)(uint32_t)in_rate << 32)
+                   | (uint32_t)out_rate;
+    auto it = cache.find(key);
+    if (it == cache.end())
+        it = cache.emplace(key, design_filter(in_rate, out_rate)).first;
+    return it->second;
+}
+
 int64_t adc_resample(const float* in, int64_t in_len, int32_t in_rate,
                      int32_t out_rate, float* out, int64_t out_capacity) {
     if (in_rate == out_rate) {
@@ -152,23 +174,27 @@ int64_t adc_resample(const float* in, int64_t in_len, int32_t in_rate,
         memcpy(out, in, (size_t)n * sizeof(float));
         return n;
     }
-    ResampleFilter f = design_filter(in_rate, out_rate);
+    const ResampleFilter& f = cached_filter(in_rate, out_rate);
     int64_t n_out = adc_resample_out_len(in_len, in_rate, out_rate);
     n_out = std::min(n_out, out_capacity);
-    int64_t taps = (int64_t)f.h.size();
     for (int64_t n = 0; n < n_out; n++) {
-        /* output n sits at upsampled index n*down; filter centered there */
+        /* output n sits at upsampled index n*down; filter centered there.
+         * Tap index j = base - k*up keeps j ≡ base (mod up): exactly the
+         * phase-major row poly[base % up], walked densely while the input
+         * walks k downward from k0 = floor(base/up). */
         int64_t base = n * (int64_t)f.down + f.half_len;
-        /* j = base - k*up must satisfy 0 <= j < taps */
-        int64_t k_min = (base - (taps - 1) + f.up - 1) / f.up;
-        if (k_min < 0) k_min = 0;
-        int64_t k_max = base / f.up;
-        if (k_max > in_len - 1) k_max = in_len - 1;
-        double acc = 0.0;
-        for (int64_t k = k_min; k <= k_max; k++) {
-            acc += f.h[base - k * f.up] * (double)in[k];
+        int64_t phase = base % f.up;
+        int64_t k0 = base / f.up;
+        const std::vector<float>& taps_p = f.poly[(size_t)phase];
+        int64_t m_lo = (k0 > in_len - 1) ? (k0 - (in_len - 1)) : 0;
+        int64_t m_hi = std::min((int64_t)taps_p.size() - 1, k0);
+        const float* hp = taps_p.data();
+        const float* xp = in + (k0 - m_lo);
+        float acc = 0.0f;
+        for (int64_t m = m_lo; m <= m_hi; m++, xp--) {
+            acc += hp[m] * (*xp);
         }
-        out[n] = (float)acc;
+        out[n] = acc;
     }
     return n_out;
 }
