@@ -21,11 +21,16 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--segment_duration", type=float, default=5.0)
     p.add_argument("--json", action="store_true", help="print raw JSON")
+    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+                   help="int8-quantize the decode cross-attention K/V "
+                        "(~30%% faster per token, approximate parity)")
     return p.parse_args(argv)
 
 
 def load_pipeline(args):
     import os
+
+    kv_quant = getattr(args, "kv_quant", "none")
 
     from audio_transformers_tpu.cli.common import get_tokenizer
     from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
@@ -37,14 +42,17 @@ def load_pipeline(args):
         from audio_transformers_tpu.models.whisper import emotion as emo
         cfg = EmotionWhisperConfig()
         params = emo.init(jax.random.PRNGKey(0), cfg)
-        return EmotionWhisperPipeline(params, cfg, tokenizer=tokenizer)
+        return EmotionWhisperPipeline(params, cfg, tokenizer=tokenizer,
+                                      kv_quant=kv_quant)
     if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
             or os.path.exists(os.path.join(args.model_path,
                                            "pytorch_model.bin")):
         return EmotionWhisperPipeline.from_hf_dir(args.model_path,
-                                                  tokenizer=tokenizer)
+                                                  tokenizer=tokenizer,
+                                                  kv_quant=kv_quant)
     return EmotionWhisperPipeline.from_checkpoint(args.model_path,
-                                                  tokenizer=tokenizer)
+                                                  tokenizer=tokenizer,
+                                                  kv_quant=kv_quant)
 
 
 def main(argv=None):
