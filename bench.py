@@ -45,6 +45,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from audio_transformers_tpu.core.profiling import (
+        enable_compilation_cache)
+
+    # ~13 jitted programs; the tunnel's remote compiler can take minutes
+    # when congested — the persistent disk cache makes warm re-runs
+    # compile-free.
+    enable_compilation_cache()
+
     from audio_transformers_tpu.core.config import (DecodeConfig,
                                                     EmotionWhisperConfig,
                                                     MelConfig,
