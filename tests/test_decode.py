@@ -330,3 +330,29 @@ class TestInt8CrossKV:
         enc = wm.encode(params, cfg, jnp.asarray(mel))
         with pytest.raises(ValueError):
             wm.precompute_cross_attention(params, cfg, enc, quant="fp4")
+
+
+def test_fused_processor_chain_matches_sequential():
+    """_process_logits composes suppress -> begin-suppress -> penalty ->
+    ngram into one pass; it must equal the sequential reference processors
+    bit-for-bit on random inputs (larger vocab than the HF parity model)."""
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    WhisperConfig)
+
+    rng = np.random.default_rng(7)
+    b, vocab, length = 4, 2048, 24
+    logits = jnp.asarray(rng.standard_normal((b, vocab)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, vocab, (b, length)).astype(np.int32))
+    cfg = WhisperConfig.test()
+    dcfg = DecodeConfig(no_repeat_ngram_size=3, repetition_penalty=1.15)
+    suppress = (5, 17, 1999)
+    begin = (220, 3)
+    for pos in (2, 5, 23):
+        got = wdecode._process_logits(logits, tokens, jnp.int32(pos), cfg,
+                                      dcfg, 5, suppress, begin)
+        want = lp.suppress_tokens(logits, suppress)
+        want = lp.suppress_tokens_at(want, begin, jnp.int32(pos), 5)
+        want = lp.repetition_penalty(want, tokens, jnp.int32(pos), 1.15)
+        want = lp.no_repeat_ngram(want, tokens, jnp.int32(pos), 3)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"pos={pos}")
