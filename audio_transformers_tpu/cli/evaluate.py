@@ -22,7 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--simple_styles", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_samples", type=int, default=64)
-    p.add_argument("--max_segments", type=int, default=16)
+    p.add_argument("--max_segments", type=int, default=None,
+                   help="segment buffer size; default sizes it from the "
+                        "decode length so nothing is ever dropped")
     p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
                    help="int8-quantize the decode cross-attention K/V "
                         "(~30%% faster per token, approximate parity)")

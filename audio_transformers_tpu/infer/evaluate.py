@@ -144,7 +144,7 @@ def evaluate_segment_level(params, cfg: EmotionWhisperConfig,
                            *, tokenizer=None,
                            output_dir: Optional[str] = None,
                            dcfg: Optional[DecodeConfig] = None,
-                           max_segments: int = 16,
+                           max_segments: Optional[int] = None,
                            compute_dtype=jnp.bfloat16) -> dict:
     """Timestamped decode -> per-segment emotion; ground truth is the
     sample's emotion replicated per segment (reference evaluate.py:292-299).

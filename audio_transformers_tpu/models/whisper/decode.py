@@ -236,11 +236,13 @@ def generate_with_fallback(params: dict, cfg: WhisperConfig,
     (reference: whisper_finetune/evaluate.py:41-58, HF's whisper
     temperature-fallback ladder).
 
-    TPU note: the re-decode runs the whole batch through the (separately
-    compiled) sampling variant and keeps only the flagged rows — two fixed
-    programs instead of HF's per-sample host loop. Without a tokenizer the
-    ratio is computed over the raw token-id bytes (repetitions compress the
-    same way).
+    TPU note: flagged rows are gathered into a power-of-two bucket (the
+    smallest bucket >= the flagged count), the sampling variant re-decodes
+    only that bucket, and the results scatter back — fixed shapes (at most
+    log2(batch)+1 compiled bucket sizes), so one degenerate row at batch
+    128 costs a batch-1 re-decode, not a full second pass. Without a
+    tokenizer the ratio is computed over the raw token-id bytes
+    (repetitions compress the same way).
     """
     import numpy as np
 
@@ -263,17 +265,26 @@ def generate_with_fallback(params: dict, cfg: WhisperConfig,
             sample = tokenizer.decode([int(t) for t in ids])
         else:
             sample = ids.astype(np.int32).tobytes()
-        flagged.append(compression_ratio(sample) > threshold)
-    if not any(flagged):
+        if compression_ratio(sample) > threshold:
+            flagged.append(b)
+    if not flagged:
         return out
 
+    batch = tokens.shape[0]
+    bucket = 1
+    while bucket < len(flagged):
+        bucket *= 2
+    bucket = min(bucket, batch)
+    # pad the index list by repeating the first flagged row; padded results
+    # scatter onto the same destination as the real row (identical values)
+    idx = np.asarray(
+        (flagged + [flagged[0]] * (bucket - len(flagged)))[:bucket],
+        np.int32)
     hot = dcfg.replace(temperature=fallback_temperature)
-    resampled = generate(params, cfg, hot, enc, prompt=prompt,
-                         suppress_ids=suppress_ids,
+    resampled = generate(params, cfg, hot, jnp.take(enc, idx, axis=0),
+                         prompt=prompt, suppress_ids=suppress_ids,
                          rng=rng if rng is not None else jax.random.PRNGKey(0))
-    sel = jnp.asarray(flagged)
-    merged = {}
+    merged = dict(out)
     for k in ("tokens", "hiddens", "lengths"):
-        shape = (-1,) + (1,) * (out[k].ndim - 1)
-        merged[k] = jnp.where(sel.reshape(shape), resampled[k], out[k])
+        merged[k] = out[k].at[idx].set(resampled[k])
     return merged

@@ -90,13 +90,24 @@ def sequence_emotion_from_hiddens(params: dict, hiddens: jax.Array,
 
 def segment_emotion_from_decode(params: dict, cfg: EmotionWhisperConfig,
                                 decode_out: dict, *, prompt_len: int,
-                                max_segments: int = 16) -> dict:
+                                max_segments: Optional[int] = None) -> dict:
     """Per-segment emotion logits straight from a timestamped decode.
 
     Returns {"segment_logits" (B,S,C), "segment_counts" (B,S),
              "num_segments" (B,)}. Segments with count 0 are padding.
+
+    `max_segments=None` (default) sizes the segment buffer from the decode
+    buffer itself: a row of G generated tokens can close at most
+    floor(G/2) timestamp pairs, +1 for the whole-sequence fallback slot —
+    so NO segment can ever be silently dropped (the reference is uncapped,
+    whisper_finetune/evaluate.py:60-94; a fixed cap of 16 lost segments
+    past the 16th without warning). Pass an explicit int only to bound
+    compute when callers independently guarantee the count.
     """
     w = cfg.whisper
+    if max_segments is None:
+        gen_len = decode_out["tokens"].shape[1] - prompt_len
+        max_segments = max(gen_len // 2, 0) + 1
     seg_ids, valid = segment_ids_from_tokens(
         decode_out["tokens"], decode_out["lengths"],
         prompt_len=prompt_len, timestamp_begin=w.timestamp_begin_id,

@@ -1,0 +1,217 @@
+"""Component-level attribution for the decode step at batch 128.
+
+Times each piece of the decode-loop body in isolation (exact shapes,
+layouts and dtypes of the real step) with the repo's scan-differencing
+methodology (see phase_bench.py header), so the gap between the measured
+per-step cost and the HBM bandwidth floor can be attributed:
+
+  self_step   4-layer incremental self-attn + MLP (cache update included)
+  cross_bf16  4-layer cross-attention against bf16 (B,H,hd,T) K/V
+  cross_int8  same with int8 K/V + scale folding (the production int8 path)
+  logits      tied projection (B,D) @ (V,D)^T -> fp32 (B,V)
+  procs       fused logit-processor chain + argmax on a (B,V) feed
+
+Usage: python scripts/decode_phase_bench.py [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--buf", type=int, default=68)
+    p.add_argument("--rounds", type=int, default=2)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--lo", type=int, default=2)
+    p.add_argument("--hi", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.core.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    EmotionWhisperConfig,
+                                                    MelConfig)
+    from audio_transformers_tpu.models import whisper as wm
+    from audio_transformers_tpu.models.whisper import decode as wdecode
+    from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.ops import nn
+    from audio_transformers_tpu.ops.mel import log_mel
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = EmotionWhisperConfig()
+    w = cfg.whisper
+    mel_cfg = MelConfig.whisper()
+    compute = jnp.bfloat16 if on_tpu else jnp.float32
+    B = args.batch if on_tpu else 4
+    LBUF = args.buf
+    LO, HI, REPS = args.lo, args.hi, args.reps
+    if not on_tpu:
+        HI = 3
+
+    rng = np.random.default_rng(0)
+    waveform = jnp.asarray(
+        (rng.standard_normal((B, mel_cfg.sample_rate * 30)) * 0.1)
+        .astype(np.float32))
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    mel = jax.jit(lambda wv: log_mel(wv, mel_cfg).astype(compute))(waveform)
+    enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="xla")
+
+    cross16 = jax.jit(lambda e: wm.precompute_cross_attention(
+        params["whisper"], w, e, quant="none"))(enc)
+    cross8 = jax.jit(lambda e: wm.precompute_cross_attention(
+        params["whisper"], w, e, quant="int8"))(enc)
+    sp = jax.jit(lambda: wm.prepare_decode_params(params["whisper"], w,
+                                                  dtype=compute))()
+    cache = wm.init_cache(w, B, max_len=LBUF, dtype=compute)
+    x0 = jnp.asarray(rng.standard_normal((B, w.d_model)), compute)
+    d = w.d_model
+    heads, hd = w.num_heads, w.head_dim
+    import math
+    scale = 1.0 / math.sqrt(hd)
+    idx0 = jnp.int32(LBUF // 2)
+    dcfg = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
+                        repetition_penalty=1.15)
+    tokens0 = jnp.asarray(rng.integers(100, 5000, (B, LBUF)), jnp.int32)
+    logits0 = jnp.asarray(rng.standard_normal((B, w.vocab_size)), jnp.float32)
+
+    # ---- bodies (feed, c) -> consumable output ------------------------
+    def self_step_body(feed, c):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        pos_ids = jnp.arange(LBUF)
+        attn_mask = (pos_ids <= idx0)[None, None, :]
+        for li, bp in enumerate(sp["blocks"]):
+            h = nn.layer_norm(bp["self_ln"], x)
+            qkv = nn.linear(bp["qkv"], h)
+            q = qkv[:, :d].reshape(B, heads, hd)
+            k_new = qkv[:, d:2 * d].reshape(B, heads, hd, 1)
+            v_new = qkv[:, 2 * d:].reshape(B, heads, hd, 1)
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"][li], k_new, (0, 0, 0, idx0))
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"][li], v_new, (0, 0, 0, idx0))
+            logits = jnp.einsum("bhd,bhdk->bhk", q, k_all,
+                                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(attn_mask, logits,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+            attn = jnp.einsum("bhk,bhdk->bhd", probs, v_all,
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
+            x = x + nn.linear(bp["self_o"], attn.reshape(B, d))
+            h = nn.layer_norm(bp["mlp_ln"], x)
+            x = x + nn.linear(bp["fc2"], nn.gelu(nn.linear(bp["fc1"], h)))
+        return x
+
+    def cross_bf16_body(feed, c):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        for li, bp in enumerate(sp["blocks"]):
+            h = nn.layer_norm(bp["cross_ln"], x)
+            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
+            clogits = jnp.einsum("bhd,bhdk->bhk", cq, cross16["k"][li],
+                                 preferred_element_type=jnp.float32) * scale
+            cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
+            cattn = jnp.einsum("bhk,bhdk->bhd", cprobs, cross16["v"][li],
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
+        return x
+
+    def cross_int8_body(feed, c):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        for li, bp in enumerate(sp["blocks"]):
+            h = nn.layer_norm(bp["cross_ln"], x)
+            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
+            cq32 = cq.astype(jnp.float32)
+            q_scale = jnp.maximum(jnp.max(jnp.abs(cq32), axis=-1,
+                                          keepdims=True), 1e-6) / 127.0
+            q_i8 = jnp.round(cq32 / q_scale).astype(jnp.int8)
+            cl_i32 = jnp.einsum("bhd,bhdk->bhk", q_i8, cross8["k"][li],
+                                preferred_element_type=jnp.int32)
+            clogits = (cl_i32.astype(jnp.float32) * q_scale
+                       * cross8["k_scale"][li] * scale)
+            cprobs = jax.nn.softmax(clogits, axis=-1)
+            p_scale = jnp.max(cprobs, axis=-1, keepdims=True) / 127.0
+            p_i8 = jnp.round(cprobs / p_scale).astype(jnp.int8)
+            ca_i32 = jnp.einsum("bhk,bhdk->bhd", p_i8, cross8["v"][li],
+                                preferred_element_type=jnp.int32)
+            cattn = (ca_i32.astype(jnp.float32) * p_scale
+                     * cross8["v_scale"][li]).astype(x.dtype)
+            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
+        return x
+
+    def logits_body(feed, c):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        table = sp["embed"]["table"]
+        out = jnp.einsum("bd,vd->bv", x, table,
+                         preferred_element_type=jnp.float32)
+        return out[:, :d]  # consume a slice; full (B,V) was materialized
+
+    def procs_body(feed, c):
+        lg = logits0 + c * 1e-30 + feed[:, :1] * 0.0
+        lg = wdecode._process_logits(
+            lg, tokens0, idx0, w, dcfg, 4,
+            wdecode.default_suppress_ids(w), (220, w.eos_token_id))
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        return nxt[:, None].astype(jnp.float32) * 1e-30 + feed[:, :1]
+
+    variants = {
+        "self_step": self_step_body,
+        "cross_bf16": cross_bf16_body,
+        "cross_int8": cross_int8_body,
+        "logits": logits_body,
+        "procs": procs_body,
+    }
+
+    fns = {}
+    for name, body in variants.items():
+        fns[name] = {}
+        for n in (LO, HI):
+            @jax.jit
+            def fn(feed, body=body, n=n):
+                def sbody(carry, _):
+                    out = body(feed, carry)
+                    return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
+                cc, _ = jax.lax.scan(sbody, jnp.float32(0), None, length=n)
+                return cc.reshape(1)
+            float(np.asarray(fn(x0)[0], np.float32))
+            fns[name][n] = fn
+
+    results = {name: [] for name in variants}
+    for _ in range(args.rounds):
+        for name in variants:
+            ts = {}
+            for n in (LO, HI):
+                fn = fns[name][n]
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    out = fn(x0)
+                float(np.asarray(out[0], np.float32))
+                ts[n] = (time.perf_counter() - t0) / REPS
+            results[name].append((ts[HI] - ts[LO]) / (HI - LO) * 1e3)
+    total = 0.0
+    for name, vals in results.items():
+        v = min(vals)
+        if name not in ("cross_bf16",):
+            total += v
+        print(f"{name:12s} {v:8.3f} ms  (runs {['%.2f' % x for x in vals]})",
+              flush=True)
+    print(f"sum (int8 path, ex cross_bf16): {total:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -232,8 +232,10 @@ class TestTemperatureFallback:
         dcfg = DecodeConfig(max_new_tokens=12,
                             compression_ratio_threshold=2.4)
         greedy = wdecode.generate(params, cfg, dcfg, enc)
+        # the fallback gathers flagged rows into a minimal bucket: one
+        # flagged row -> a batch-1 temperature decode of that row
         hot = wdecode.generate(params, cfg,
-                               dcfg.replace(temperature=0.7), enc,
+                               dcfg.replace(temperature=0.7), enc[:1],
                                rng=jax.random.PRNGKey(0))
         out = wdecode.generate_with_fallback(
             params, cfg, dcfg, enc, tokenizer=self._FakeTok(),
@@ -246,6 +248,38 @@ class TestTemperatureFallback:
         np.testing.assert_array_equal(np.asarray(out["lengths"]),
                                       np.asarray([hot["lengths"][0],
                                                   greedy["lengths"][1]]))
+
+    def test_fallback_bucket_is_minimal(self, hf_pair, monkeypatch):
+        """One flagged row in a batch of 5 re-decodes a power-of-two bucket
+        (here 1), not the whole batch (VERDICT r2 weak #4)."""
+        _, cfg, params = hf_pair
+        enc = self._enc(cfg, params, batch=5)
+        dcfg = DecodeConfig(max_new_tokens=12,
+                            compression_ratio_threshold=2.4)
+
+        class FlagThird:
+            def decode(self, ids):  # flag only row index 2
+                if not hasattr(self, "n"):
+                    self.n = 0
+                self.n += 1
+                return ("ha ha ha " * 60 if self.n == 3
+                        else f"clean text {self.n} 9q3z")
+
+        calls = []
+        real_generate = wdecode.generate
+
+        def spy(params, cfg, dcfg, enc, **kw):
+            calls.append(enc.shape[0])
+            return real_generate(params, cfg, dcfg, enc, **kw)
+
+        monkeypatch.setattr(wdecode, "generate", spy)
+        greedy = real_generate(params, cfg, dcfg, enc)
+        out = wdecode.generate_with_fallback(params, cfg, dcfg, enc,
+                                             tokenizer=FlagThird())
+        assert calls == [5, 1], calls
+        for b in (0, 1, 3, 4):
+            np.testing.assert_array_equal(np.asarray(out["tokens"][b]),
+                                          np.asarray(greedy["tokens"][b]))
 
     def test_no_threshold_is_plain_greedy(self, hf_pair):
         _, cfg, params = hf_pair

@@ -154,3 +154,39 @@ def test_segment_emotion_from_decode_fallback():
                                           prompt_len=2, max_segments=4)
     assert out["segment_logits"].shape == (2, 4, cfg.num_emotion_classes)
     assert (np.asarray(out["num_segments"]) >= 1).all()
+
+
+def test_segment_emotion_no_silent_cap():
+    """>16 segments survive with the default (auto-sized) buffer — the old
+    fixed cap of 16 one-hotted ids >= 16 to zero and dropped them silently
+    (the reference is uncapped, whisper_finetune/evaluate.py:60-94)."""
+    # test config's timestamp_begin_id=4 leaves no room for text ids; use a
+    # raised timestamp base so text tokens (10+s) stay below it
+    cfg = EmotionWhisperConfig(
+        whisper=WhisperConfig.test().replace(timestamp_begin_id=200),
+        num_emotion_classes=4)
+    w = cfg.whisper
+    ts = w.timestamp_begin_id
+    p_len = 2
+    n_seg = 24
+    # row: prompt then n_seg segments of <ts> text <ts>
+    row = [9] * p_len
+    for s in range(n_seg):
+        row += [ts + 2 * s, 10 + s, ts + 2 * s + 1]
+    row.append(w.eos_token_id)
+    tokens = np.asarray([row], np.int32)
+    L = tokens.shape[1]
+    rng = np.random.default_rng(1)
+    decode_out = {
+        "tokens": jnp.asarray(tokens),
+        "hiddens": jnp.asarray(rng.standard_normal((1, L, w.d_model))
+                               .astype(np.float32)),
+        "lengths": jnp.asarray([L], np.int32),
+    }
+    out = emo.segment_emotion_from_decode(params := emo.init(
+        jax.random.PRNGKey(0), cfg), cfg, decode_out, prompt_len=p_len)
+    counts = np.asarray(out["segment_counts"])[0]
+    assert int(out["num_segments"][0]) == n_seg
+    assert (counts[:n_seg] == 1).all() and (counts[n_seg:] == 0).all()
+    # the auto cap bounds the buffer by what the decode could ever emit
+    assert out["segment_logits"].shape[1] == (L - p_len) // 2 + 1
