@@ -59,13 +59,13 @@ def main(argv=None):
     args = parse_args(argv)
 
     from audio_transformers_tpu.core.profiling import enable_compilation_cache
-    from audio_transformers_tpu.utils.audio import read_wav, synth_clip
+    from audio_transformers_tpu.utils.audio import read_audio, synth_clip
 
     enable_compilation_cache()
 
     pipe = load_pipeline(args)
     if args.audio:
-        wav, sr = read_wav(args.audio)
+        wav, sr = read_audio(args.audio)
     else:
         print("no --audio given; running synthesized self-test clip")
         wav, sr = synth_clip(12.0, 16000), 16000

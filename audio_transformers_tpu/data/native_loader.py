@@ -37,11 +37,13 @@ def _load(build_if_missing: bool = True):
                 raise OSError(f"libaudiodec build failed: {e}")
     lib = ctypes.CDLL(path)
 
-    lib.adc_decode_wav.restype = ctypes.c_int64
-    lib.adc_decode_wav.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32)]
+    for fname in ("adc_decode_wav", "adc_decode_flac", "adc_decode_audio"):
+        fn = getattr(lib, fname)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
     lib.adc_resample.restype = ctypes.c_int64
     lib.adc_resample.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
@@ -82,16 +84,33 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def decode_wav(data: bytes, max_samples: int = 48000 * 600
-               ) -> Tuple[np.ndarray, int]:
+def _decode(fname: str, data: bytes, max_samples: int
+            ) -> Tuple[np.ndarray, int]:
     lib = _load()
     out = np.empty(max_samples, np.float32)
     sr = ctypes.c_int32(0)
-    n = lib.adc_decode_wav(data, len(data), _fptr(out), max_samples,
-                           ctypes.byref(sr))
+    n = getattr(lib, fname)(data, len(data), _fptr(out), max_samples,
+                            ctypes.byref(sr))
     if n < 0:
-        raise ValueError("adc_decode_wav: unsupported or corrupt wav")
+        raise ValueError(f"{fname}: unsupported or corrupt stream")
     return out[:n].copy(), int(sr.value)
+
+
+def decode_wav(data: bytes, max_samples: int = 48000 * 600
+               ) -> Tuple[np.ndarray, int]:
+    return _decode("adc_decode_wav", data, max_samples)
+
+
+def decode_flac(data: bytes, max_samples: int = 48000 * 600
+                ) -> Tuple[np.ndarray, int]:
+    """First-party native FLAC decode -> (float32 mono, sample_rate)."""
+    return _decode("adc_decode_flac", data, max_samples)
+
+
+def decode_audio(data: bytes, max_samples: int = 48000 * 600
+                 ) -> Tuple[np.ndarray, int]:
+    """Container-sniffing decode (RIFF wav or fLaC) -> mono float32."""
+    return _decode("adc_decode_audio", data, max_samples)
 
 
 def resample(audio: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:

@@ -24,7 +24,7 @@ import numpy as np
 
 from audio_transformers_tpu.data.loader import Batcher
 from audio_transformers_tpu.data.splits import random_split
-from audio_transformers_tpu.utils.audio import preprocess_clip, read_wav
+from audio_transformers_tpu.utils.audio import preprocess_clip, read_audio
 
 SAMPLE_RATE = 22050
 DURATION = 4.0
@@ -110,7 +110,7 @@ class UrbanSoundLocalSource:
             if peak > 0:
                 wav /= peak
         else:
-            audio, sr = read_wav(path)
+            audio, sr = read_audio(path)
             wav = preprocess_clip(audio, sr, target_sr=self.sample_rate,
                                   duration=self.duration)
         return {"waveform": wav, "label": np.int32(label)}

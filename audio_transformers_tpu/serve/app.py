@@ -10,7 +10,6 @@ streamlit-less environments use serve/http_server.py instead.
 from __future__ import annotations
 
 import sys
-import tempfile
 
 
 def main():
@@ -33,19 +32,23 @@ def main():
                 if a.startswith("--") and "=" in a)
     pipeline = load(args.get("--model_path"), args.get("--tokenizer"))
 
-    uploaded = st.file_uploader("Audio file",
-                                type=["wav", "mp3", "flac", "ogg", "m4a"])
+    # Advertise exactly what decodes: wav (stdlib) + flac (first-party
+    # native decoder). The reference also takes mp3/ogg/m4a via librosa
+    # (streamlit_app.py:30); those fail with a clear message here instead
+    # of a wave-module crash.
+    uploaded = st.file_uploader("Audio file", type=["wav", "flac"])
     if uploaded is None:
         return
     st.audio(uploaded)
     if not st.button("Analyze"):
         return
 
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-        tmp.write(uploaded.getvalue())
-        tmp.flush()
-        from audio_transformers_tpu.utils.audio import read_wav
-        wav, sr = read_wav(tmp.name)
+    from audio_transformers_tpu.utils.audio import decode_audio_bytes
+    try:
+        wav, sr = decode_audio_bytes(uploaded.getvalue())
+    except ValueError as e:
+        st.error(str(e))
+        return
 
     with st.spinner("Processing audio..."):
         result = pipeline.analyze(wav, sr, segment_duration=5.0)

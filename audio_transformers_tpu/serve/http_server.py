@@ -11,12 +11,10 @@ HTML page that renders the same transcription + per-segment emotion bars.
 
 from __future__ import annotations
 
-import io
 import json
-import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
+from audio_transformers_tpu.utils.audio import decode_audio_bytes, to_mono
 
 _PAGE = """<!doctype html>
 <html><head><title>audio-transformers-tpu demo</title><style>
@@ -27,14 +25,14 @@ body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
 blockquote{background:#f6f6f6;padding:.8em;border-left:4px solid #4a7dbd}
 </style></head><body>
 <h2>Audio Emotion Recognition + Transcription</h2>
-<p>Upload a wav file; the model transcribes it and estimates an emotion
-per %SEG%-second segment.</p>
-<input type="file" id="f" accept=".wav"/> <button onclick="go()">Analyze</button>
+<p>Upload a wav or flac file; the model transcribes it and estimates an
+emotion per %SEG%-second segment.</p>
+<input type="file" id="f" accept=".wav,.flac"/> <button onclick="go()">Analyze</button>
 <div id="out"></div>
 <script>
 async function go(){
   const f=document.getElementById('f').files[0];
-  if(!f){alert('choose a wav file');return}
+  if(!f){alert('choose a wav or flac file');return}
   document.getElementById('out').innerHTML='<p>processing...</p>';
   const r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
   const d=await r.json();
@@ -55,22 +53,11 @@ async function go(){
 </script></body></html>"""
 
 
-def _parse_wav(data: bytes):
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if width == 2:
-        audio = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        audio = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2**31
-    else:
-        audio = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
-                 - 128.0) / 128.0
-    if ch > 1:
-        audio = audio.reshape(-1, ch).mean(axis=1)
-    return audio, sr
+def _parse_audio(data: bytes):
+    """wav (stdlib) or flac (native decoder) -> (mono float32, sr).
+    Raises ValueError for other containers (mapped to HTTP 415)."""
+    audio, sr = decode_audio_bytes(data)
+    return to_mono(audio), sr
 
 
 def make_handler(pipeline, segment_duration: float):
@@ -101,10 +88,16 @@ def make_handler(pipeline, segment_duration: float):
             n = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(n)
             try:
-                audio, sr = _parse_wav(data)
+                audio, sr = _parse_audio(data)
+            except ValueError as e:
+                # unsupported container -> 415, like the spec intends
+                code = 415 if "unsupported audio container" in str(e) else 400
+                self._send(code, json.dumps(
+                    {"error": str(e)}).encode(), "application/json")
+                return
             except Exception as e:
                 self._send(400, json.dumps(
-                    {"error": f"bad wav: {e}"}).encode(),
+                    {"error": f"bad audio: {e}"}).encode(),
                     "application/json")
                 return
             result = pipeline.analyze(audio, sr,

@@ -90,6 +90,53 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return data, sr
 
 
+def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory audio container -> (float32 audio, sr).
+
+    Supported: PCM wav (stdlib) and FLAC (first-party native decoder,
+    native/audiodec/flac.cpp — the reference gets flac through
+    librosa/libsndfile, whisper_finetune/streamlit_app.py:64-68). Raises
+    ValueError with the sniffed container name for anything else, so
+    serving surfaces can report a clear 415 instead of a wave-module
+    crash."""
+    if data[:4] == b"RIFF":
+        import io
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2 ** 31
+        elif width == 1:
+            a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported wav sample width {width}")
+        if ch > 1:
+            a = a.reshape(-1, ch).T
+        return a, sr
+    if data[:4] == b"fLaC":
+        from audio_transformers_tpu.data import native_loader as nl
+        return nl.decode_flac(data)
+    sniffed = {b"ID3": "mp3", b"\xff\xfb": "mp3", b"\xff\xf3": "mp3",
+               b"OggS": "ogg"}.get(data[:3], None) \
+        or {b"OggS": "ogg"}.get(data[:4]) \
+        or ("m4a" if data[4:8] == b"ftyp" else "unknown")
+    raise ValueError(
+        f"unsupported audio container ({sniffed}): only wav and flac "
+        f"decode natively in this build")
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Read a wav or flac file -> (float32 audio, sr). See
+    decode_audio_bytes for format support."""
+    with open(path, "rb") as f:
+        return decode_audio_bytes(f.read())
+
+
 def write_wav(path: str, audio: np.ndarray, sr: int):
     a = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
     pcm = (a * 32767.0).astype("<i2")

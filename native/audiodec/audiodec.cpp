@@ -273,10 +273,9 @@ struct adc_pool {
                     int32_t rate = 0;
                     /* generous decode capacity: 10 minutes at 48 kHz */
                     decode_buf.resize(48000u * 600u);
-                    int64_t n = adc_decode_wav(file_buf.data(), file_buf.size(),
-                                               decode_buf.data(),
-                                               (int64_t)decode_buf.size(),
-                                               &rate);
+                    int64_t n = adc_decode_audio(
+                        file_buf.data(), file_buf.size(), decode_buf.data(),
+                        (int64_t)decode_buf.size(), &rate);
                     if (n > 0) {
                         const float* src = decode_buf.data();
                         int64_t src_len = n;

@@ -29,6 +29,17 @@ extern "C" {
 int64_t adc_decode_wav(const uint8_t* data, size_t size, float* out,
                        int64_t out_capacity, int32_t* sample_rate_out);
 
+/* First-party FLAC decoder (flac.cpp): CONSTANT/VERBATIM/FIXED/LPC
+ * subframes, Rice residuals, stereo decorrelation, 8-32 bit. Same
+ * contract as adc_decode_wav (mono mixdown). The reference gets flac via
+ * librosa/libsndfile (whisper_finetune/streamlit_app.py:64-68). */
+int64_t adc_decode_flac(const uint8_t* data, size_t size, float* out,
+                        int64_t out_capacity, int32_t* sample_rate_out);
+
+/* Sniff the container magic (RIFF / fLaC) and dispatch. */
+int64_t adc_decode_audio(const uint8_t* data, size_t size, float* out,
+                         int64_t out_capacity, int32_t* sample_rate_out);
+
 /* ---- resampling -------------------------------------------------------- */
 
 /* Polyphase windowed-sinc resampler (Kaiser window), capability-equivalent
