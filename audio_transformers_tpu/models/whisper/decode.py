@@ -143,7 +143,10 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     tokens = jnp.full((batch, L), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
     hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
-    cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype)
+    # kv_quant covers BOTH caches: the precomputed cross K/V and the
+    # incrementally-written self K/V (per-time-step scales).
+    cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype,
+                          quant=dcfg.kv_quant)
     cross = wm.precompute_cross_attention(params, cfg, enc,
                                           quant=dcfg.kv_quant)
     # Weights cast to the compute dtype ONCE, outside the loop; otherwise

@@ -183,7 +183,7 @@ def logits_from_hidden(params: dict, hidden: jax.Array) -> jax.Array:
 
 
 def init_cache(cfg: WhisperConfig, batch: int, *, max_len: Optional[int] = None,
-               dtype=jnp.float32) -> dict:
+               dtype=jnp.float32, quant: str = "none") -> dict:
     """Self-attention K/V buffers of static length, one per layer (lists,
     so a step updates each layer in place under while-loop buffer aliasing
     instead of re-stacking the whole cache). The reference decodes through
@@ -192,9 +192,30 @@ def init_cache(cfg: WhisperConfig, batch: int, *, max_len: Optional[int] = None,
 
     Layout (B, H, head_dim, L): like the cross K/V, time on the minor axis
     so the 64-wide head_dim doesn't get padded to 128 lanes — the cache is
-    re-read in full every decode step."""
+    re-read in full every decode step.
+
+    quant="int8": store K/V as int8 with one f32 scale per written time
+    step, (B, H, L). Halves the cache re-read (the dominant per-step HBM
+    read scales with the token budget: ~204 MB/step bf16 at batch 128 /
+    256 new tokens) and both contractions run the int8 MXU path. Scales
+    are per-time-step so the quantization stays exact under the
+    incremental one-column-per-step write."""
     max_len = max_len or cfg.max_target_positions
     h, hd = cfg.num_heads, cfg.head_dim
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown kv_quant {quant!r}")
+    if quant == "int8":
+        return {
+            "k": [jnp.zeros((batch, h, hd, max_len), jnp.int8)
+                  for _ in range(cfg.decoder_layers)],
+            "v": [jnp.zeros((batch, h, hd, max_len), jnp.int8)
+                  for _ in range(cfg.decoder_layers)],
+            "k_scale": [jnp.zeros((batch, h, max_len), jnp.float32)
+                        for _ in range(cfg.decoder_layers)],
+            "v_scale": [jnp.zeros((batch, h, max_len), jnp.float32)
+                        for _ in range(cfg.decoder_layers)],
+            "index": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": [jnp.zeros((batch, h, hd, max_len), dtype)
               for _ in range(cfg.decoder_layers)],
@@ -319,36 +340,82 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
     idx = cache["index"]
     b = token.shape[0]
     d = cfg.d_model
+    self_quant = "k_scale" in cache
     x = nn.embedding_lookup(sp["embed"], token)  # (B, D)
     x = x + jax.lax.dynamic_slice_in_dim(sp["pos"], idx, 1, axis=0)
-    x = x.astype(cache["k"][0].dtype)
+    x = x.astype(sp["blocks"][0]["qkv"]["w"].dtype)
 
     max_len = cache["k"][0].shape[3]
     pos_ids = jnp.arange(max_len)
     attn_mask = (pos_ids <= idx)[None, None, :]  # (1,1,L)
 
-    new_k, new_v = [], []
+    new_cache = {"index": idx + 1,
+                 "k": [], "v": []}
+    if self_quant:
+        new_cache["k_scale"], new_cache["v_scale"] = [], []
     scale = 1.0 / math.sqrt(cfg.head_dim)
     h_heads, hd = cfg.num_heads, cfg.head_dim
+
+    def _q8(vec):
+        """(B, H, hd) -> (int8 (B,H,hd), f32 scale (B,H,1))."""
+        v32 = vec.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(v32), axis=-1, keepdims=True),
+                        1e-6) / 127.0
+        return jnp.round(v32 / s).astype(jnp.int8), s
 
     for li, bp in enumerate(sp["blocks"]):
         h = nn.layer_norm(bp["self_ln"], x)
         qkv = nn.linear(bp["qkv"], h)  # (B, 3D)
         q = qkv[:, :d].reshape(b, h_heads, hd)
-        k_new = qkv[:, d:2 * d].reshape(b, h_heads, hd, 1)
-        v_new = qkv[:, 2 * d:].reshape(b, h_heads, hd, 1)
-        k_all = jax.lax.dynamic_update_slice(
-            cache["k"][li], k_new, (0, 0, 0, idx))
-        v_all = jax.lax.dynamic_update_slice(
-            cache["v"][li], v_new, (0, 0, 0, idx))
-        new_k.append(k_all)
-        new_v.append(v_all)
-        logits = jnp.einsum("bhd,bhdk->bhk", q, k_all,
-                            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(attn_mask, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
-        attn = jnp.einsum("bhk,bhdk->bhd", probs, v_all,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        k_new = qkv[:, d:2 * d].reshape(b, h_heads, hd)
+        v_new = qkv[:, 2 * d:].reshape(b, h_heads, hd)
+        if self_quant:
+            # int8 self-KV: per-time-step scales — quantization of past
+            # entries never changes as the cache fills, so the write stays
+            # one column per step.
+            k_q, ks = _q8(k_new)
+            v_q, vs = _q8(v_new)
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"][li], k_q[..., None], (0, 0, 0, idx))
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"][li], v_q[..., None], (0, 0, 0, idx))
+            ks_all = jax.lax.dynamic_update_slice(
+                cache["k_scale"][li], ks, (0, 0, idx))
+            vs_all = jax.lax.dynamic_update_slice(
+                cache["v_scale"][li], vs, (0, 0, idx))
+            new_cache["k_scale"].append(ks_all)
+            new_cache["v_scale"].append(vs_all)
+            q_i8, q_s = _q8(q)
+            l_i32 = jnp.einsum("bhd,bhdk->bhk", q_i8, k_all,
+                               preferred_element_type=jnp.int32)
+            logits = l_i32.astype(jnp.float32) * q_s * ks_all * scale
+            logits = jnp.where(attn_mask, logits,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1)
+            # fold the per-step V scales into the probabilities, then
+            # quantize the folded row for the int8 PV contraction
+            p = probs * vs_all
+            p_s = jnp.maximum(jnp.max(p, axis=-1, keepdims=True),
+                              1e-30) / 127.0
+            p_i8 = jnp.round(p / p_s).astype(jnp.int8)
+            a_i32 = jnp.einsum("bhk,bhdk->bhd", p_i8, v_all,
+                               preferred_element_type=jnp.int32)
+            attn = (a_i32.astype(jnp.float32) * p_s).astype(x.dtype)
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"][li], k_new[..., None], (0, 0, 0, idx))
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"][li], v_new[..., None], (0, 0, 0, idx))
+            logits = jnp.einsum("bhd,bhdk->bhk", q, k_all,
+                                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(attn_mask, logits,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+            attn = jnp.einsum("bhk,bhdk->bhd", probs, v_all,
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
+        new_cache["k"].append(k_all)
+        new_cache["v"].append(v_all)
         x = x + nn.linear(bp["self_o"], attn.reshape(b, d))
 
         h = nn.layer_norm(bp["cross_ln"], x)
@@ -397,7 +464,6 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
         x = x + nn.linear(bp["fc2"], nn.gelu(nn.linear(bp["fc1"], h)))
 
     x = nn.layer_norm(sp["ln"], x)
-    new_cache = {"k": new_k, "v": new_v, "index": idx + 1}
     return x, new_cache
 
 

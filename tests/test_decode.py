@@ -364,6 +364,33 @@ class TestInt8CrossKV:
         enc = wm.encode(params, cfg, jnp.asarray(mel))
         with pytest.raises(ValueError):
             wm.precompute_cross_attention(params, cfg, enc, quant="fp4")
+        with pytest.raises(ValueError):
+            wm.init_cache(cfg, 2, max_len=8, quant="fp4")
+
+    def test_int8_self_kv_steps_close_to_exact(self, hf_pair):
+        """kv_quant also covers the incrementally-written self-attention
+        cache (per-time-step scales): multi-step hidden states must stay
+        numerically close to the exact path."""
+        _, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=13)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        cross = wm.precompute_cross_attention(params, cfg, enc)
+        sp = wm.prepare_decode_params(params, cfg)
+        cache_e = wm.init_cache(cfg, 3, max_len=8)
+        cache_q = wm.init_cache(cfg, 3, max_len=8, quant="int8")
+        toks = np.asarray([[1, 2, 3, 4, 5], [9, 8, 7, 6, 5],
+                           [4, 4, 4, 4, 4]], np.int32)
+        for t in range(5):
+            tok = jnp.asarray(toks[:, t])
+            h_e, cache_e = wm.apply_decoder_step(params, cfg, tok, cache_e,
+                                                 cross, step_params=sp)
+            h_q, cache_q = wm.apply_decoder_step(params, cfg, tok, cache_q,
+                                                 cross, step_params=sp)
+            err = np.abs(np.asarray(h_q) - np.asarray(h_e)).mean()
+            ref = np.abs(np.asarray(h_e)).mean()
+            assert err / ref < 0.05, (t, err, ref)
+        assert cache_q["k"][0].dtype == jnp.int8
+        assert int(cache_q["index"]) == 5
 
 
 def test_fused_processor_chain_matches_sequential():
