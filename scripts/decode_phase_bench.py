@@ -90,7 +90,12 @@ def main(argv=None):
     logits0 = jnp.asarray(rng.standard_normal((B, w.vocab_size)), jnp.float32)
 
     # ---- bodies (feed, c) -> consumable output ------------------------
-    def self_step_body(feed, c):
+    # NOTE: the K/V buffers (cache ~53 MB, cross ~0.6 GB at batch 128) are
+    # passed as jit ARGUMENTS via the closure dict `ops` below — closing
+    # over them directly embeds them as program constants, which breaks
+    # the remote compiler. Step params (~16 MB) stay closed over, matching
+    # the in-pipeline closure behavior (see phase_bench.py).
+    def self_step_body(feed, c, ops):
         x = feed + c.astype(feed.dtype) * 1e-30
         pos_ids = jnp.arange(LBUF)
         attn_mask = (pos_ids <= idx0)[None, None, :]
@@ -101,9 +106,9 @@ def main(argv=None):
             k_new = qkv[:, d:2 * d].reshape(B, heads, hd, 1)
             v_new = qkv[:, 2 * d:].reshape(B, heads, hd, 1)
             k_all = jax.lax.dynamic_update_slice(
-                cache["k"][li], k_new, (0, 0, 0, idx0))
+                ops["cache"]["k"][li], k_new, (0, 0, 0, idx0))
             v_all = jax.lax.dynamic_update_slice(
-                cache["v"][li], v_new, (0, 0, 0, idx0))
+                ops["cache"]["v"][li], v_new, (0, 0, 0, idx0))
             logits = jnp.einsum("bhd,bhdk->bhk", q, k_all,
                                 preferred_element_type=jnp.float32) * scale
             logits = jnp.where(attn_mask, logits,
@@ -117,21 +122,21 @@ def main(argv=None):
             x = x + nn.linear(bp["fc2"], nn.gelu(nn.linear(bp["fc1"], h)))
         return x
 
-    def cross_bf16_body(feed, c):
+    def cross_bf16_body(feed, c, ops):
         x = feed + c.astype(feed.dtype) * 1e-30
         for li, bp in enumerate(sp["blocks"]):
             h = nn.layer_norm(bp["cross_ln"], x)
             cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
-            clogits = jnp.einsum("bhd,bhdk->bhk", cq, cross16["k"][li],
+            clogits = jnp.einsum("bhd,bhdk->bhk", cq, ops["cross16"]["k"][li],
                                  preferred_element_type=jnp.float32) * scale
             cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)
-            cattn = jnp.einsum("bhk,bhdk->bhd", cprobs, cross16["v"][li],
+            cattn = jnp.einsum("bhk,bhdk->bhd", cprobs, ops["cross16"]["v"][li],
                                preferred_element_type=jnp.float32
                                ).astype(x.dtype)
             x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
         return x
 
-    def cross_int8_body(feed, c):
+    def cross_int8_body(feed, c, ops):
         x = feed + c.astype(feed.dtype) * 1e-30
         for li, bp in enumerate(sp["blocks"]):
             h = nn.layer_norm(bp["cross_ln"], x)
@@ -140,28 +145,28 @@ def main(argv=None):
             q_scale = jnp.maximum(jnp.max(jnp.abs(cq32), axis=-1,
                                           keepdims=True), 1e-6) / 127.0
             q_i8 = jnp.round(cq32 / q_scale).astype(jnp.int8)
-            cl_i32 = jnp.einsum("bhd,bhdk->bhk", q_i8, cross8["k"][li],
+            cl_i32 = jnp.einsum("bhd,bhdk->bhk", q_i8, ops["cross8"]["k"][li],
                                 preferred_element_type=jnp.int32)
             clogits = (cl_i32.astype(jnp.float32) * q_scale
-                       * cross8["k_scale"][li] * scale)
+                       * ops["cross8"]["k_scale"][li] * scale)
             cprobs = jax.nn.softmax(clogits, axis=-1)
             p_scale = jnp.max(cprobs, axis=-1, keepdims=True) / 127.0
             p_i8 = jnp.round(cprobs / p_scale).astype(jnp.int8)
-            ca_i32 = jnp.einsum("bhk,bhdk->bhd", p_i8, cross8["v"][li],
+            ca_i32 = jnp.einsum("bhk,bhdk->bhd", p_i8, ops["cross8"]["v"][li],
                                 preferred_element_type=jnp.int32)
             cattn = (ca_i32.astype(jnp.float32) * p_scale
-                     * cross8["v_scale"][li]).astype(x.dtype)
+                     * ops["cross8"]["v_scale"][li]).astype(x.dtype)
             x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
         return x
 
-    def logits_body(feed, c):
+    def logits_body(feed, c, ops):
         x = feed + c.astype(feed.dtype) * 1e-30
         table = sp["embed"]["table"]
         out = jnp.einsum("bd,vd->bv", x, table,
                          preferred_element_type=jnp.float32)
         return out[:, :d]  # consume a slice; full (B,V) was materialized
 
-    def procs_body(feed, c):
+    def procs_body(feed, c, ops):
         lg = logits0 + c * 1e-30 + feed[:, :1] * 0.0
         lg = wdecode._process_logits(
             lg, tokens0, idx0, w, dcfg, 4,
@@ -177,18 +182,19 @@ def main(argv=None):
         "procs": procs_body,
     }
 
+    all_ops = {"cache": cache, "cross16": cross16, "cross8": cross8}
     fns = {}
     for name, body in variants.items():
         fns[name] = {}
         for n in (LO, HI):
             @jax.jit
-            def fn(feed, body=body, n=n):
+            def fn(feed, ops, body=body, n=n):
                 def sbody(carry, _):
-                    out = body(feed, carry)
+                    out = body(feed, carry, ops)
                     return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
                 cc, _ = jax.lax.scan(sbody, jnp.float32(0), None, length=n)
                 return cc.reshape(1)
-            float(np.asarray(fn(x0)[0], np.float32))
+            float(np.asarray(fn(x0, all_ops)[0], np.float32))
             fns[name][n] = fn
 
     results = {name: [] for name in variants}
@@ -199,7 +205,7 @@ def main(argv=None):
                 fn = fns[name][n]
                 t0 = time.perf_counter()
                 for _ in range(REPS):
-                    out = fn(x0)
+                    out = fn(x0, all_ops)
                 float(np.asarray(out[0], np.float32))
                 ts[n] = (time.perf_counter() - t0) / REPS
             results[name].append((ts[HI] - ts[LO]) / (HI - LO) * 1e3)
