@@ -149,6 +149,9 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
                           quant=dcfg.kv_quant)
     cross = wm.precompute_cross_attention(params, cfg, enc,
                                           quant=dcfg.kv_quant)
+    if wm.resolve_step_attn("auto") == "fused":
+        # pad the time axis for the fused kernel ONCE, outside the loop
+        cross = wm.pad_cross_time(cross)
     # Weights cast to the compute dtype ONCE, outside the loop; otherwise
     # every step re-reads the fp32 copies from HBM (decode is
     # bandwidth-bound — this alone is worth ~2x per step in bf16).

@@ -272,69 +272,113 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
     audio segment instead of per decode step (the reference re-encodes audio
     for its second emotion pass; evaluate_simple.py:141-143).
 
-    Layout: (layers, B, H, head_dim, T_enc) — time on the MINOR axis.
-    head_dim is 64 on every whisper size; a (..., T, 64) layout pads the
-    64-wide minor dim to the TPU's 128 lanes, physically DOUBLING the
-    hundreds of MB of cross-K/V that decode re-reads every step. With
-    T_enc=1500 (or 750 after the conv stride) on lanes the padding is
-    ~2%, and both per-step contractions stream the arrays at full width.
+    Layout: (layers, B, H, head_dim, T_enc) for BOTH k and v — time on
+    the MINOR axis. head_dim is 64 on every whisper size; a (..., T, 64)
+    layout pads the 64-wide minor dim to the TPU's 128 lanes, physically
+    DOUBLING the hundreds of MB of cross-K/V that decode re-reads every
+    step. This is also exactly the layout the fused decode kernel streams
+    (ops/decode_attention.py).
 
     quant="int8": store K/V as int8 (K scaled per key vector, V per
-    channel) so each decode step reads HALF the bytes and the two
-    contractions run on the MXU's int8 path. Decode at batch 128 is
-    bound by this re-read (~1.2 GB/step in bf16 for whisper-tiny)."""
-    ks, vs = [], []
+    channel) so each decode step reads HALF the bytes. Decode at batch
+    128 is bound by this re-read (~1.2 GB/step in bf16, whisper-tiny).
+    The fused kernel folds the scales at the edges (logits row / output
+    row), so neither q nor the probabilities are ever quantized.
+
+    Returned as PER-LAYER LISTS (like the self cache), not a stacked
+    (L, ...) array: the fused kernel's operands must be whole buffers —
+    a leading-axis slice of a stacked array inside the decode loop
+    forces XLA to materialize the slice as a copy EVERY step."""
+    out = {"k": [], "v": []}
+    if quant == "int8":
+        out["k_scale"], out["v_scale"] = [], []
+    elif quant != "none":
+        raise ValueError(f"unknown kv_quant {quant!r}")
     for bp in params["decoder"]["blocks"]:
         k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
-                           cfg.num_heads)
+                           cfg.num_heads)               # (B, H, T, hd)
         v = nn.split_heads(nn.linear(bp["cross_attn"]["v"], enc),
                            cfg.num_heads)
-        ks.append(k.transpose(0, 1, 3, 2))  # (B, H, hd, T)
-        vs.append(v.transpose(0, 1, 3, 2))
-    k = jnp.stack(ks)  # (L, B, H, hd, T)
-    v = jnp.stack(vs)
-    if quant == "none":
-        return {"k": k, "v": v}
-    if quant != "int8":
-        raise ValueError(f"unknown kv_quant {quant!r}")
-    # Reductions run on the storage dtype and only the (small) scales are
-    # f32 — an fp32 copy of K/V here would materialize ~1.2 GB twice
-    # (whisper-tiny, batch 128); the per-element convert fuses into the
-    # quantizing division instead.
-    # K: scale per key vector (over head_dim) — logits_t = <q, k_t> scales
-    # linearly in k_scale_t, folded back after the int8 matmul.
-    k_scale = jnp.maximum(
-        jnp.max(jnp.abs(k), axis=3, keepdims=True).astype(jnp.float32),
-        1e-6) / 127.0                                  # (L,B,H,1,T)
-    # V: scale per output channel (over time) — attn_d = sum_t p_t v_dt.
-    v_scale = jnp.maximum(
-        jnp.max(jnp.abs(v), axis=4, keepdims=True).astype(jnp.float32),
-        1e-6) / 127.0                                  # (L,B,H,hd,1)
-    k_q = jnp.round(k.astype(jnp.float32) / k_scale).astype(jnp.int8)
-    v_q = jnp.round(v.astype(jnp.float32) / v_scale).astype(jnp.int8)
-    return {"k": k_q, "v": v_q,
-            "k_scale": k_scale[:, :, :, 0, :],         # (L,B,H,T)
-            "v_scale": v_scale[:, :, :, :, 0]}         # (L,B,H,hd)
+        k = k.transpose(0, 1, 3, 2)  # (B, H, hd, T)
+        v = v.transpose(0, 1, 3, 2)
+        if quant == "none":
+            out["k"].append(k)
+            out["v"].append(v)
+            continue
+        # Reductions run on the storage dtype and only the (small) scales
+        # are f32 — an fp32 copy of K/V here would materialize ~1.2 GB
+        # twice (whisper-tiny, batch 128); the per-element convert fuses
+        # into the quantizing division instead.
+        # K: scale per key vector (over head_dim) — logits_t = <q, k_t>
+        # scales linearly in k_scale_t, folded back after the contraction.
+        k_scale = jnp.maximum(
+            jnp.max(jnp.abs(k), axis=2, keepdims=True).astype(jnp.float32),
+            1e-6) / 127.0                              # (B,H,1,T)
+        # V: scale per output channel (over time) — attn_d = sum_t p_t v_dt
+        v_scale = jnp.maximum(
+            jnp.max(jnp.abs(v), axis=3, keepdims=True).astype(jnp.float32),
+            1e-6) / 127.0                              # (B,H,hd,1)
+        out["k"].append(
+            jnp.round(k.astype(jnp.float32) / k_scale).astype(jnp.int8))
+        out["v"].append(
+            jnp.round(v.astype(jnp.float32) / v_scale).astype(jnp.int8))
+        out["k_scale"].append(k_scale[:, :, 0, :])     # (B,H,T)
+        out["v_scale"].append(v_scale[:, :, :, 0])     # (B,H,hd)
+    return out
+
+
+def resolve_step_attn(attn_impl: str) -> str:
+    """"auto" -> the fused Pallas kernel on TPU, XLA elsewhere.
+    ATX_DECODE_ATTN overrides (perf A/B without a code edit)."""
+    import os
+    env = os.environ.get("ATX_DECODE_ATTN")
+    if env:
+        return env
+    if attn_impl == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return attn_impl
+
+
+def pad_cross_time(cross: dict) -> dict:
+    """Zero-pad the cross K/V time axis to the fused kernel's block
+    multiple ONCE, recording the true key count as cross["t_valid"].
+    Without this the kernel would pad its loop-invariant operands inside
+    the decode loop — a full K/V copy per token (+3.3 ms/step measured
+    at batch 128). Only the fused path may consume the padded dict; the
+    XLA paths do not mask padded keys."""
+    from audio_transformers_tpu.ops.decode_attention import (
+        pad_time_for_decode_kernel)
+
+    t = cross["k"][0].shape[-1]
+    out = dict(cross)
+    out["k"] = [pad_time_for_decode_kernel(x, t) for x in cross["k"]]
+    out["v"] = [pad_time_for_decode_kernel(x, t) for x in cross["v"]]
+    if "k_scale" in cross:
+        out["k_scale"] = [pad_time_for_decode_kernel(x, t)
+                          for x in cross["k_scale"]]
+    out["t_valid"] = t
+    return out
 
 
 def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                        cache: dict, cross: dict, *,
                        step_params: Optional[dict] = None,
-                       attn_impl: str = "xla") -> Tuple[jax.Array, dict]:
+                       attn_impl: str = "auto") -> Tuple[jax.Array, dict]:
     """One decode step. token: (B,) int32; returns (hidden (B, d), cache).
 
     Writes this step's K/V at cache["index"], attends over the valid
     prefix. Pass `step_params` (from `prepare_decode_params`) to use the
     fused-QKV fast path; built on the fly otherwise.
 
-    attn_impl="flash" routes cross-attention through the experimental
-    fused single-query kernel (ops/decode_attention). Measured on v5e it
-    does NOT beat XLA's multiply+reduce fusion (88 vs 157 GB/s — the
-    single-query contraction sits on the lane axis, which the VPU reduces
-    slowly and the MXU cannot batch), so "xla" is the default.
+    attn_impl: "fused" routes cross-attention through the single-query
+    Pallas kernel (ops/decode_attention — sublane-oriented reductions;
+    the XLA lowering of the same contractions measures ~4x off HBM
+    bandwidth and dominates the decode step). "auto" resolves to "fused"
+    on TPU, "xla" elsewhere (the kernel runs interpreted off-TPU).
+    Self-attention always stays on the XLA path — the cache is short and
+    measures at ~3% of the step (scripts/decode_phase_bench.py).
     """
-    if attn_impl == "auto":
-        attn_impl = "xla"
+    attn_impl = resolve_step_attn(attn_impl)
     sp = step_params if step_params is not None \
         else prepare_decode_params(params, cfg)
     idx = cache["index"]
@@ -420,10 +464,23 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
 
         h = nn.layer_norm(bp["cross_ln"], x)
         cq = nn.linear(bp["cross_q"], h).reshape(b, h_heads, hd)
-        if "k_scale" in cross:
-            # int8 cross-K/V: quantize q per (b, h) row, run both
-            # contractions as int8 MXU matmuls, fold the scales back in
-            # fp32. Halves the dominant per-step HBM read.
+        cross_quant = "k_scale" in cross
+        if attn_impl == "fused":
+            # Pallas kernel: sublane-oriented reductions for both
+            # contractions, scales folded at the edges (see
+            # ops/decode_attention.py). This IS the decode step's cost on
+            # TPU — the XLA lowering runs ~4x off HBM bandwidth.
+            from audio_transformers_tpu.ops.decode_attention import (
+                decode_cross_attention)
+            cattn = decode_cross_attention(
+                cq, cross["k"][li], cross["v"][li],
+                k_scale=cross["k_scale"][li] if cross_quant else None,
+                v_scale=cross["v_scale"][li] if cross_quant else None,
+                t_valid=cross.get("t_valid"),
+                scale=scale).astype(x.dtype)
+        elif cross_quant:
+            # XLA int8 fallback: quantize q per (b, h) row, int8
+            # contractions, fold the scales back in fp32.
             cq32 = cq.astype(jnp.float32)
             q_scale = jnp.maximum(jnp.max(jnp.abs(cq32), axis=-1,
                                           keepdims=True), 1e-6) / 127.0
@@ -441,17 +498,8 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                                 preferred_element_type=jnp.int32)
             cattn = (ca_i32.astype(jnp.float32) * p_scale
                      * cross["v_scale"][li]).astype(x.dtype)
-        elif attn_impl == "flash":
-            from audio_transformers_tpu.ops.decode_attention import (
-                decode_attention)
-            # experimental kernel wants (B, H, T, hd)
-            cattn = decode_attention(cq,
-                                     cross["k"][li].transpose(0, 1, 3, 2),
-                                     cross["v"][li].transpose(0, 1, 3, 2),
-                                     scale=scale).astype(x.dtype)
         else:
-            # cross K/V are (B, H, hd, T): both contractions stream the
-            # big arrays with T on the minor (lane) axis
+            # XLA fallback: k and v (B,H,hd,T), T on the minor (lane) axis
             clogits = jnp.einsum("bhd,bhdk->bhk", cq, cross["k"][li],
                                  preferred_element_type=jnp.float32) * scale
             cprobs = jax.nn.softmax(clogits, axis=-1).astype(x.dtype)

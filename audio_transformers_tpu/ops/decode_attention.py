@@ -1,20 +1,38 @@
-"""Fused single-query (decode-step) attention Pallas kernel.
+"""Fused single-query (decode-step) cross-attention Pallas kernel.
 
-Profiling the decode while-loop showed XLA lowers the per-step
-cross-attention einsums (q len 1 against 1500 encoder keys) to
-multiply+reduce fusions running at ~25% of HBM bandwidth — and they
-dominate the step. This kernel streams K/V blocks through the pallas
-pipeline (grid dim 1) with the online-softmax recurrence carried in VMEM
-scratch, so the cost approaches the unavoidable K/V read.
+Decode-phase attribution (scripts/decode_phase_bench.py, v5e batch 128)
+shows the per-step cross-attention IS the decode step: 1.41 ms of the
+1.48 ms int8 step (self-attn 0.05, processors 0.20). The contraction is
+a batched matvec — the MXU cannot amortize weight loads at M=1, so the
+VPU is the right engine and the bound is VPU throughput plus the K/V
+read. The XLA int8 lowering spends extra full-width passes quantizing q
+and the probabilities and runs ~2x off that bound.
 
-Used by `apply_decoder_step` for cross-attention (encoder keys: long T,
-loop-invariant); self-attention caches are short and stay on the XLA path.
+Kernel design (per grid step: 8 (b,h) pairs x one T block, both K and V
+in the production (bh, head_dim, T) layout — no relayouts anywhere):
+  - QK: q broadcast over lanes, multiply into K (8, hd, bt), reduce hd
+    on the SUBLANE axis -> s (8, bt)
+  - online-softmax stats kept as (8, 128) VMEM rows (lane-broadcast
+    scalars, the one Mosaic-friendly shape for running max/sum)
+  - PV: p broadcast over the sublane (d) axis, multiply into V
+    (8, hd, bt), reduce t on the LANE axis -> (8, hd)
+  - int8: scales fold at the edges (k_scale multiplies the s row,
+    v_scale the final output row); q and p are NEVER quantized — fewer
+    VPU passes than the XLA int8 path AND better accuracy.
+
+Per-step HBM traffic is exactly one K + V read (online-softmax carries
+the running stats in scratch across T blocks).
+
+Reference equivalent: the per-token attention inside HF's generate
+(whisper_finetune/evaluate_simple.py:125-135 drives it); there it is a
+cuDNN call per step.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,112 +46,189 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, acc_ref, stats_ref, *,
-            block_t: int, t_valid: int, scale: float):
+def preferred_block_t(t: int) -> int:
+    """The kernel's preferred time-block for a given key count."""
+    return min(768, _round_up(t, 128))
+
+
+def pad_time_for_decode_kernel(x: jax.Array, t: int) -> jax.Array:
+    """Zero-pad the minor (time) axis to the kernel's block multiple.
+    Call ONCE outside the decode loop (see t_valid in
+    decode_cross_attention)."""
+    t_pad = _round_up(t, preferred_block_t(t))
+    if t_pad == x.shape[-1]:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, t_pad - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def _kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, acc_ref,
+            stats_ref, *, block_t: int, t_valid: int, scale: float,
+            quant: bool, block_bh: int):
+    """Grid (bh/block_bh, T/block_t). Blocks:
+      q   (block_bh, hd)           f32/bf16
+      k   (block_bh, hd, block_t)  storage dtype (bf16 or int8)
+      v   (block_bh, hd, block_t)
+      ks  (block_bh, 1, block_t)   f32 (int8 only; dummy otherwise)
+      vs  (block_bh, hd)           f32 (int8 only)
+      out (block_bh, hd)
+    Scratch: acc (block_bh, hd) f32; stats (2, block_bh, 128) f32.
+    """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        stats_ref[0] = jnp.full_like(stats_ref[0], _NEG_INF)  # running max
-        stats_ref[1] = jnp.zeros_like(stats_ref[1])           # running sum
+        stats_ref[0] = jnp.full_like(stats_ref[0], _NEG_INF)
+        stats_ref[1] = jnp.zeros_like(stats_ref[1])
 
-    q = q_ref[0].astype(jnp.float32)          # (block_bh, d)
-    k = k_ref[0].astype(jnp.float32)          # (block_bh, block_t, d)
-    v = v_ref[0].astype(jnp.float32)
-
-    s = jnp.sum(q[:, None, :] * k, axis=-1) * scale  # (block_bh, block_t)
+    q = q_ref[:].astype(jnp.float32)                   # (bh8, hd)
+    k = k_ref[:]                                       # (bh8, hd, bt)
+    # QK: multiply q (lane-broadcast) into K, reduce hd on sublanes.
+    s = jnp.sum(q[:, :, None] * k.astype(jnp.float32), axis=1)  # (bh8, bt)
+    if quant:
+        s = s * ks_ref[:, 0, :]
+    s = s * scale
     t_pos = j * block_t + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(t_pos < t_valid, s, _NEG_INF)
 
-    m_old = stats_ref[0][:, :1]                # (block_bh, 1)
+    m_old = stats_ref[0][:, :1]                        # (bh8, 1)
     l_old = stats_ref[1][:, :1]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(s - m_new)
+    p = jnp.exp(s - m_new)                             # (bh8, bt)
     l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p[:, :, None] * v, axis=1)
+
+    v = v_ref[:]                                       # (bh8, hd, bt)
+    # PV: p broadcast over the sublane (d) axis, reduce t on lanes.
+    pv = jnp.sum(p[:, None, :] * v.astype(jnp.float32), axis=2)  # (bh8, hd)
+    acc_ref[:] = acc_ref[:] * alpha + pv
     stats_ref[0] = jnp.broadcast_to(m_new, stats_ref[0].shape)
     stats_ref[1] = jnp.broadcast_to(l_new, stats_ref[1].shape)
 
     @pl.when(j == nj - 1)
     def _():
         l = stats_ref[1][:, :1]
-        out_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)) \
-            .astype(out_ref.dtype)
+        o = acc_ref[:] / jnp.maximum(l, 1e-30)
+        if quant:
+            o = o * vs_ref[:]                          # per-channel scales
+        out_ref[:] = o.astype(out_ref.dtype)
 
 
-def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                     scale: float | None = None, block_bh: int = 8,
-                     block_t: int = 512,
-                     interpret: bool | None = None) -> jax.Array:
-    """q (B,H,D), k/v (B,H,T,D) -> (B,H,D). Softmax attention over T.
+def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                           k_scale: Optional[jax.Array] = None,
+                           v_scale: Optional[jax.Array] = None,
+                           scale: float | None = None,
+                           block_bh: Optional[int] = None,
+                           block_t: Optional[int] = None,
+                           t_valid: Optional[int] = None,
+                           interpret: bool | None = None) -> jax.Array:
+    """Single-query attention over precomputed keys/values.
 
-    The T padding is loop-invariant when k/v are (XLA hoists it out of a
-    surrounding while_loop), so per-decode-step HBM traffic is just K+V.
+    q (B, H, hd); k AND v (B, H, hd, T) — the production time-minor
+    layout. For int8 k/v pass k_scale (B, H, T) and v_scale (B, H, hd)
+    (both f32). Returns (B, H, hd) in q's dtype.
+
+    `t_valid`: when the caller has ALREADY padded the time axis to a
+    block_t multiple (pad_time_for_decode_kernel), pass the true key
+    count here — crucial inside a decode loop, where an internal
+    jnp.pad of the loop-invariant K/V would otherwise copy the whole
+    cache every step (measured +3.3 ms/step at batch 128).
+
+    Default blocks come from a same-process sweep at whisper-tiny batch
+    128, T=1500 on v5e (int8: (8,512) 1.21 / (16,1536) 0.96 / (64,768)
+    0.77 ms per 4-layer pass — the big bh block is what reaches the
+    0.72 ms K+V-read floor), scaled down by dtype so the double-buffered
+    K+V blocks stay ~12.6 MB of VMEM.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, h, d = q.shape
-    t = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-
+    b, h, hd = q.shape
+    t = k.shape[3]
+    scale = scale if scale is not None else 1.0 / math.sqrt(hd)
+    quant = k_scale is not None
     bh = b * h
-    # q/out blocks need an 8-divisible (or full) second-to-last dim
-    if bh % 8:
-        pad_bh = _round_up(bh, 8) - bh
-        q = q.reshape(bh, d)
-        q = jnp.pad(q, ((0, pad_bh), (0, 0)))
-        k = jnp.pad(k.reshape(bh, t, d), ((0, pad_bh), (0, 0), (0, 0)))
-        v = jnp.pad(v.reshape(bh, t, d), ((0, pad_bh), (0, 0), (0, 0)))
-        bh_pad = bh + pad_bh
-    else:
-        q, k, v = q.reshape(bh, d), k.reshape(bh, t, d), v.reshape(bh, t, d)
-        bh_pad = bh
+    if block_t is None:
+        block_t = preferred_block_t(t_valid or t)
+    if block_bh is None:
+        block_bh = max(64 // k.dtype.itemsize // max(block_t // 768, 1), 8)
+    block_bh = min(block_bh, _round_up(bh, 8))
+    bh_pad = _round_up(bh, block_bh)
     t_pad = _round_up(t, block_t)
-    if t_pad != t:
-        k = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0)))
+    if t_valid is None:
+        t_valid = t
+    elif t % block_t:
+        raise ValueError(f"t_valid given but T={t} is not a multiple of "
+                         f"block_t={block_t}")
 
-    kernel = functools.partial(_kernel, block_t=block_t, t_valid=t,
-                               scale=scale)
+    def pad_bh(x):
+        return x if x.shape[0] == bh_pad else jnp.pad(
+            x, ((0, bh_pad - bh),) + ((0, 0),) * (x.ndim - 1))
+
+    qf = pad_bh(q.reshape(bh, hd))
+    kf = pad_bh(k.reshape(bh, hd, t))
+    vf = pad_bh(v.reshape(bh, hd, t))
+    if t_pad != t:
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, t_pad - t)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, t_pad - t)))
+    if quant:
+        ksf = pad_bh(k_scale.reshape(bh, 1, t).astype(jnp.float32))
+        if t_pad != t:
+            ksf = jnp.pad(ksf, ((0, 0), (0, 0), (0, t_pad - t)))
+        vsf = pad_bh(v_scale.reshape(bh, hd).astype(jnp.float32))
+    else:
+        # dummy operands keep the call signature static
+        ksf = jnp.ones((bh_pad, 1, 128), jnp.float32)
+        vsf = jnp.ones((bh_pad, hd), jnp.float32)
+
+    kernel = functools.partial(_kernel, block_t=block_t, t_valid=t_valid,
+                               scale=scale, quant=quant, block_bh=block_bh)
     out = pl.pallas_call(
         kernel,
         grid=(bh_pad // block_bh, t_pad // block_t),
         in_specs=[
-            pl.BlockSpec((1, block_bh, d), lambda i, j: (0, i, 0),
+            pl.BlockSpec((block_bh, hd), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_bh, block_t, d),
-                         lambda i, j: (0, i, j, 0),
+            pl.BlockSpec((block_bh, hd, block_t), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_bh, block_t, d),
-                         lambda i, j: (0, i, j, 0),
+            pl.BlockSpec((block_bh, hd, block_t), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_bh, 1, block_t), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+            if quant else
+            pl.BlockSpec((block_bh, 1, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_bh, hd), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_bh, d), lambda i, j: (0, i, 0),
+        out_specs=pl.BlockSpec((block_bh, hd), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, bh_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, hd), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_bh, d), jnp.float32),      # acc
-            pltpu.VMEM((2, block_bh, 128), jnp.float32),  # running max/sum
+            pltpu.VMEM((block_bh, hd), jnp.float32),
+            pltpu.VMEM((2, block_bh, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * t * d,
-            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            flops=4 * bh * t * hd,
+            bytes_accessed=(kf.size + vf.size) * kf.dtype.itemsize,
             transcendentals=bh_pad * t_pad,
         ),
         interpret=interpret,
-    )(q[None], k[None], v[None])
-    return out[0, :bh].reshape(b, h, d)
+    )(qf, kf, vf, ksf, vsf)
+    return out[:bh].reshape(b, h, hd)
 
 
-def decode_attention_reference(q, k, v, *, scale=None) -> jax.Array:
-    """XLA oracle with identical semantics."""
-    d = q.shape[-1]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    s = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
+def decode_cross_attention_reference(q, k, v, *, k_scale=None, v_scale=None,
+                                     scale=None) -> jax.Array:
+    """XLA oracle with identical semantics (k and v (B,H,hd,T))."""
+    hd = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(hd)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[:, :, None, :].astype(jnp.float32)
+        vf = vf * v_scale[:, :, :, None].astype(jnp.float32)
+    s = jnp.einsum("bhd,bhdt->bht", q.astype(jnp.float32), kf) * scale
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bht,bhtd->bhd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bht,bhdt->bhd", p, vf).astype(q.dtype)

@@ -174,10 +174,39 @@ def main(argv=None):
         nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         return nxt[:, None].astype(jnp.float32) * 1e-30 + feed[:, :1]
 
+    from audio_transformers_tpu.ops.decode_attention import (
+        decode_cross_attention)
+
+    def cross_fused16_body(feed, c, ops):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        for li, bp in enumerate(sp["blocks"]):
+            h = nn.layer_norm(bp["cross_ln"], x)
+            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
+            cattn = decode_cross_attention(
+                cq, ops["cross16"]["k"][li], ops["cross16"]["v"][li],
+                scale=scale).astype(x.dtype)
+            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
+        return x
+
+    def cross_fused8_body(feed, c, ops):
+        x = feed + c.astype(feed.dtype) * 1e-30
+        for li, bp in enumerate(sp["blocks"]):
+            h = nn.layer_norm(bp["cross_ln"], x)
+            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
+            cattn = decode_cross_attention(
+                cq, ops["cross8"]["k"][li], ops["cross8"]["v"][li],
+                k_scale=ops["cross8"]["k_scale"][li],
+                v_scale=ops["cross8"]["v_scale"][li],
+                scale=scale).astype(x.dtype)
+            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
+        return x
+
     variants = {
         "self_step": self_step_body,
         "cross_bf16": cross_bf16_body,
         "cross_int8": cross_int8_body,
+        "cross_fused16": cross_fused16_body,
+        "cross_fused8": cross_fused8_body,
         "logits": logits_body,
         "procs": procs_body,
     }
@@ -212,7 +241,7 @@ def main(argv=None):
     total = 0.0
     for name, vals in results.items():
         v = min(vals)
-        if name not in ("cross_bf16",):
+        if name not in ("cross_bf16", "cross_fused16", "cross_fused8"):
             total += v
         print(f"{name:12s} {v:8.3f} ms  (runs {['%.2f' % x for x in vals]})",
               flush=True)

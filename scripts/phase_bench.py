@@ -106,7 +106,7 @@ def main(argv=None):
     def cross_body(params, feed, c):
         cr = wm.precompute_cross_attention(
             params["whisper"], w, feed + c * jnp.asarray(1e-30, feed.dtype))
-        return cr["k"][..., 0, 0, 0]
+        return jnp.stack([x[0, 0, 0] for x in cr["k"]])
 
     enc0 = jax.jit(lambda m: wm.encode(params["whisper"], w, m,
                                        attn_impl="xla"))(mel0)

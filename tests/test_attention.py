@@ -104,20 +104,42 @@ class TestDecodeAttention:
                                        (1, 6, 513)])
     def test_matches_reference(self, b, h, t):
         from audio_transformers_tpu.ops.decode_attention import (
-            decode_attention, decode_attention_reference)
+            decode_cross_attention, decode_cross_attention_reference)
 
         rng = np.random.default_rng(b * t)
         q = jnp.asarray(rng.standard_normal((b, h, 64)).astype(np.float32))
-        k = jnp.asarray(rng.standard_normal((b, h, t, 64))
+        k = jnp.asarray(rng.standard_normal((b, h, 64, t))
                         .astype(np.float32))
-        v = jnp.asarray(rng.standard_normal((b, h, t, 64))
+        v = jnp.asarray(rng.standard_normal((b, h, 64, t))
                         .astype(np.float32))
-        got = decode_attention(q, k, v)
-        want = decode_attention_reference(q, k, v)
+        got = decode_cross_attention(q, k, v)
+        want = decode_cross_attention_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_decoder_step_flash_matches_xla(self):
+    def test_int8_scales_match_reference(self):
+        from audio_transformers_tpu.ops.decode_attention import (
+            decode_cross_attention, decode_cross_attention_reference)
+
+        b, h, t, hd = 2, 3, 300, 64
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.standard_normal((b, h, hd)).astype(np.float32))
+        k8 = jnp.asarray(rng.integers(-127, 128, (b, h, hd, t))
+                         .astype(np.int8))
+        v8 = jnp.asarray(rng.integers(-127, 128, (b, h, hd, t))
+                         .astype(np.int8))
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (b, h, t))
+                         .astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (b, h, hd))
+                         .astype(np.float32))
+        got = decode_cross_attention(q, k8, v8, k_scale=ks, v_scale=vs)
+        want = decode_cross_attention_reference(q, k8, v8, k_scale=ks,
+                                                v_scale=vs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("quant", ["none", "int8"])
+    def test_decoder_step_fused_matches_xla(self, quant):
         from audio_transformers_tpu.core.config import WhisperConfig
         from audio_transformers_tpu.models import whisper as wm
 
@@ -128,13 +150,17 @@ class TestDecodeAttention:
             (2, 2 * cfg.max_source_positions, cfg.n_mels))
             .astype(np.float32))
         enc = wm.encode(params, cfg, mel)
-        cross = wm.precompute_cross_attention(params, cfg, enc)
+        cross = wm.precompute_cross_attention(params, cfg, enc, quant=quant)
         cache_a = wm.init_cache(cfg, 2, max_len=8)
         cache_b = wm.init_cache(cfg, 2, max_len=8)
         tok = jnp.asarray(np.array([5, 9], np.int32))
         ha, _ = wm.apply_decoder_step(params, cfg, tok, cache_a, cross,
                                       attn_impl="xla")
         hb, _ = wm.apply_decoder_step(params, cfg, tok, cache_b, cross,
-                                      attn_impl="flash")
-        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
-                                   rtol=2e-4, atol=2e-5)
+                                      attn_impl="fused")
+        # int8: the fused kernel never quantizes q or the probabilities,
+        # so it is CLOSER to exact than the XLA int8 path — compare both
+        # against each other loosely there, tightly for bf16/f32
+        tol = dict(rtol=2e-4, atol=2e-5) if quant == "none" \
+            else dict(rtol=0.05, atol=0.02)
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), **tol)
