@@ -73,11 +73,18 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     suppress_ids: Tuple[int, ...],
                     begin_suppress_ids: Tuple[int, ...]):
     # Fused composition of the HF chain (suppress -> begin-suppress ->
-    # repetition penalty -> no-repeat-ngram), identical math but one
-    # elementwise pass over the (B, V) logits: the processor chain runs
-    # inside the decode loop EVERY step, and each materialized (B, V) fp32
-    # intermediate is ~100 MB of HBM round-trip at batch 128.
+    # repetition penalty -> no-repeat-ngram), identical math. The static
+    # suppress masks are one fused elementwise pass over the (B, V)
+    # logits; the token-dependent processors (penalty, ngram) scatter
+    # DIRECTLY into the logits over the (B, L) history instead of
+    # materializing (B, V) boolean masks — the chain runs inside the
+    # decode loop every step, and each (B, V) intermediate is ~26 MB of
+    # HBM round-trip at batch 128. Non-history positions redirect their
+    # scatter index out of bounds, which JAX drops (FILL_OR_DROP), so
+    # duplicate token ids across the history boundary stay deterministic.
     vocab = logits.shape[-1]
+    b = logits.shape[0]
+    b_idx = jnp.arange(b)[:, None]
     static_mask = None  # (V,) bool, position-independent
     if len(suppress_ids):
         static_mask = jnp.zeros((vocab,), bool).at[
@@ -93,15 +100,28 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if mask is not None:
         logits = jnp.where(mask, lp.NEG_INF, logits)
     if dcfg.repetition_penalty != 1.0:
-        seen = lp.seen_mask(tokens, pos, vocab)
+        in_hist = jnp.arange(tokens.shape[1])[None, :] < pos
+        vals = jnp.take_along_axis(logits, tokens, axis=1)  # (B, L)
         p = dcfg.repetition_penalty
-        logits = jnp.where(seen & (logits > 0), logits / p,
-                           jnp.where(seen, logits * p, logits))
+        pen = jnp.where(vals > 0, vals / p, vals * p)
+        idx = jnp.where(in_hist, tokens, vocab)  # OOB -> dropped
+        logits = logits.at[b_idx, idx].set(pen)
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
-        banned = lp.ngram_banned_mask(tokens, pos,
-                                      dcfg.no_repeat_ngram_size, vocab)
-        logits = jnp.where(banned, lp.NEG_INF, logits)
+        n = dcfg.no_repeat_ngram_size
+        length = tokens.shape[1]
+        last = jax.lax.dynamic_slice(
+            tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
+        num_windows = length - n + 1
+        match = jnp.ones((b, num_windows), bool)
+        for j in range(n - 1):
+            match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
+        starts = jnp.arange(num_windows)
+        valid = (starts[None, :] + (n - 1)) < pos  # window fully in history
+        cont = tokens[:, n - 1: n - 1 + num_windows]
+        flag = match & valid & (pos >= n)
+        idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
+        logits = logits.at[b_idx, idx].set(lp.NEG_INF)
     if dcfg.return_timestamps:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,

@@ -61,12 +61,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *, block_q: int,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < t_k
-        if causal:
-            mask &= k_pos <= q_pos
-        s = jnp.where(mask, s, _NEG_INF)
+        # Build the mask only where it can matter — the padded tail
+        # block, or anywhere under causality (two (block_q, block_k)
+        # iotas + compares + select per k-block otherwise).
+        pad_tail = kb == num_kb - 1 and (kb + 1) * block_k > t_k
+        if causal or pad_tail:
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = k_pos < t_k
+            if causal:
+                mask &= k_pos <= q_pos
+            s = jnp.where(mask, s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -160,12 +165,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = (k_pos < t_k) & (q_pos < t_q)
         if causal:
-            mask &= k_pos <= q_pos
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = (k_pos < t_k) & (q_pos < t_q) & (k_pos <= q_pos)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        else:
+            # zero padding makes masks unnecessary: padded k rows are
+            # zero (s=0, and dq += ds.k contributes 0) and padded q rows
+            # carry do=0 (ds=0). Mask construction otherwise costs two
+            # (block_q, block_k) iotas + compares per k-block.
+            p = jnp.exp(s - lse)
         dov = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (bq, bk)
@@ -196,12 +206,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bq, bk)
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        mask = (k_pos < t_k) & (q_pos < t_q)
         if causal:
-            mask &= k_pos <= q_pos
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = (k_pos < t_k) & (q_pos < t_q) & (k_pos <= q_pos)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        else:
+            # see _bwd_dq_kernel: zero padding zeroes every masked
+            # contribution (padded dk/dv rows are sliced off by the
+            # caller), so the masks only cost VPU work here
+            p = jnp.exp(s - lse)
         # dv_j = sum_i p_ij * do_i
         dv += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -232,7 +246,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         interpret = _interpret_default()
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    return _flash(q, k, v, causal, scale, block_q, block_k, interpret)
+    # Fold the softmax scale into q (one pass over q) instead of scaling
+    # every (block_q, block_k) logit tile inside the kernel — at encoder
+    # shapes the s-tile multiply is ~1.8 G VPU ops per layer. Outside the
+    # custom_vjp boundary, so autodiff chains it for free.
+    q = q * jnp.asarray(scale, q.dtype)
+    return _flash(q, k, v, causal, 1.0, block_q, block_k, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
