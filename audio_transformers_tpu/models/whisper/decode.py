@@ -16,6 +16,7 @@ that (evaluate_simple.py:141-143).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -164,9 +165,16 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
     hiddens = jnp.zeros((batch, L, cfg.d_model), enc.dtype)
     # kv_quant covers BOTH caches: the precomputed cross K/V and the
-    # incrementally-written self K/V (per-time-step scales).
+    # incrementally-written self K/V (per-time-step scales). The self
+    # cache only quantizes at LONG decode budgets — below ~192 positions
+    # the per-step quantize/dequantize VPU work exceeds the bandwidth
+    # saved on the tiny cache re-read (it exists for the 256-token
+    # segment-eval budget, where the bf16 cache read is ~204 MB/step at
+    # batch 128).
+    self_min = int(os.environ.get("ATX_SELF_KV_MIN", "192"))
+    self_quant = dcfg.kv_quant if L >= self_min else "none"
     cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype,
-                          quant=dcfg.kv_quant)
+                          quant=self_quant)
     cross = wm.precompute_cross_attention(params, cfg, enc,
                                           quant=dcfg.kv_quant)
     if wm.resolve_step_attn("auto") == "fused":
