@@ -76,16 +76,20 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     # Fused composition of the HF chain (suppress -> begin-suppress ->
     # repetition penalty -> no-repeat-ngram), identical math. The static
     # suppress masks are one fused elementwise pass over the (B, V)
-    # logits; the token-dependent processors (penalty, ngram) scatter
-    # DIRECTLY into the logits over the (B, L) history instead of
-    # materializing (B, V) boolean masks — the chain runs inside the
-    # decode loop every step, and each (B, V) intermediate is ~26 MB of
-    # HBM round-trip at batch 128. Non-history positions redirect their
-    # scatter index out of bounds, which JAX drops (FILL_OR_DROP), so
-    # duplicate token ids across the history boundary stay deterministic.
+    # logits. The token-dependent processors (penalty, ngram) have two
+    # implementations with a length-dependent crossover (TPU scatter cost
+    # is ~linear in UPDATE COUNT, i.e. B*L, while the mask approach pays
+    # fixed (B, V) passes):
+    #   - short buffers: scatter directly into the logits over the (B, L)
+    #     history (non-history positions redirect out of bounds, which
+    #     JAX drops — FILL_OR_DROP — so duplicate ids stay deterministic)
+    #   - long buffers: materialize (B, V) boolean masks (measured: at
+    #     L=268/B=128 the scatters cost 1.75 ms/step vs ~0.3 for masks;
+    #     at L=68 the scatter path is ~0.1 ms cheaper)
     vocab = logits.shape[-1]
     b = logits.shape[0]
     b_idx = jnp.arange(b)[:, None]
+    use_scatter = tokens.shape[1] <= 128
     static_mask = None  # (V,) bool, position-independent
     if len(suppress_ids):
         static_mask = jnp.zeros((vocab,), bool).at[
@@ -101,28 +105,37 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if mask is not None:
         logits = jnp.where(mask, lp.NEG_INF, logits)
     if dcfg.repetition_penalty != 1.0:
-        in_hist = jnp.arange(tokens.shape[1])[None, :] < pos
-        vals = jnp.take_along_axis(logits, tokens, axis=1)  # (B, L)
         p = dcfg.repetition_penalty
-        pen = jnp.where(vals > 0, vals / p, vals * p)
-        idx = jnp.where(in_hist, tokens, vocab)  # OOB -> dropped
-        logits = logits.at[b_idx, idx].set(pen)
+        if use_scatter:
+            in_hist = jnp.arange(tokens.shape[1])[None, :] < pos
+            vals = jnp.take_along_axis(logits, tokens, axis=1)  # (B, L)
+            pen = jnp.where(vals > 0, vals / p, vals * p)
+            idx = jnp.where(in_hist, tokens, vocab)  # OOB -> dropped
+            logits = logits.at[b_idx, idx].set(pen)
+        else:
+            seen = lp.seen_mask(tokens, pos, vocab)
+            logits = jnp.where(seen & (logits > 0), logits / p,
+                               jnp.where(seen, logits * p, logits))
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
-        length = tokens.shape[1]
-        last = jax.lax.dynamic_slice(
-            tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
-        num_windows = length - n + 1
-        match = jnp.ones((b, num_windows), bool)
-        for j in range(n - 1):
-            match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
-        starts = jnp.arange(num_windows)
-        valid = (starts[None, :] + (n - 1)) < pos  # window fully in history
-        cont = tokens[:, n - 1: n - 1 + num_windows]
-        flag = match & valid & (pos >= n)
-        idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
-        logits = logits.at[b_idx, idx].set(lp.NEG_INF)
+        if use_scatter:
+            length = tokens.shape[1]
+            last = jax.lax.dynamic_slice(
+                tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
+            num_windows = length - n + 1
+            match = jnp.ones((b, num_windows), bool)
+            for j in range(n - 1):
+                match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
+            starts = jnp.arange(num_windows)
+            valid = (starts[None, :] + (n - 1)) < pos  # fully in history
+            cont = tokens[:, n - 1: n - 1 + num_windows]
+            flag = match & valid & (pos >= n)
+            idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
+            logits = logits.at[b_idx, idx].set(lp.NEG_INF)
+        else:
+            banned = lp.ngram_banned_mask(tokens, pos, n, vocab)
+            logits = jnp.where(banned, lp.NEG_INF, logits)
     if dcfg.return_timestamps:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,
