@@ -32,6 +32,7 @@ from audio_transformers_tpu.models import whisper as wm
 from audio_transformers_tpu.models.whisper import decode as wdecode
 from audio_transformers_tpu.models.whisper import emotion as emo
 from audio_transformers_tpu.ops.mel import log_mel
+from audio_transformers_tpu.ops.mel import precision_for as mel_precision_for
 
 
 def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
@@ -40,7 +41,9 @@ def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     w = cfg.whisper
     if suppress_ids is None:
         suppress_ids = wdecode.default_suppress_ids(w)
-    mel = log_mel(jnp.asarray(waveform), mel_cfg).astype(compute_dtype)
+    mel = log_mel(jnp.asarray(waveform), mel_cfg,
+                  precision=mel_precision_for(compute_dtype)
+                  ).astype(compute_dtype)
     enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
     # generate_with_fallback is a plain generate when
     # dcfg.compression_ratio_threshold is unset

@@ -33,6 +33,7 @@ from audio_transformers_tpu.models import whisper as wm
 from audio_transformers_tpu.models.whisper import decode as wdecode
 from audio_transformers_tpu.models.whisper import emotion as emo
 from audio_transformers_tpu.ops.mel import log_mel
+from audio_transformers_tpu.ops.mel import precision_for as mel_precision_for
 from audio_transformers_tpu.utils.audio import resample, to_mono
 
 # Reference fallback label list (inference.py:100-112)
@@ -170,7 +171,8 @@ class EmotionWhisperPipeline:
     def _decode(self, windows: np.ndarray, dcfg: DecodeConfig) -> dict:
         w = self.cfg.whisper
         prompt = wdecode.build_prompt(w, dcfg)
-        mel = log_mel(jnp.asarray(windows), self.mel_cfg) \
+        mel = log_mel(jnp.asarray(windows), self.mel_cfg,
+                      precision=mel_precision_for(self.compute_dtype)) \
             .astype(self.compute_dtype)
         enc = wm.encode_jit(self.params["whisper"], w, mel,
                             attn_impl="auto")

@@ -201,13 +201,31 @@ def _ensure_min_length(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
     return waveform
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def log_mel_xla(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
+def precision_for(compute_dtype) -> str:
+    """Mel precision matched to the consumer: "high" (3-pass bf16
+    matmuls) when the features are immediately cast to a 16-bit compute
+    dtype — the ~1e-7 relative error is below one bf16 ulp — otherwise
+    the exact-fp32 "highest" (the reference parity anchor)."""
+    return "high" if jnp.dtype(compute_dtype).itemsize <= 2 else "highest"
+
+
+def _matmul_precision(precision: str):
+    """"highest" = exact-fp32 6-pass bf16 matmuls (the parity anchor is
+    bit-matching reference features); "high" = 3-pass bf16 (~1e-7
+    relative error) for consumers that immediately cast the features to
+    bf16, where the difference is below one output ulp."""
+    try:
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH}[precision]
+    except KeyError:
+        raise ValueError(f"unknown mel precision {precision!r}") from None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def log_mel_xla(waveform: jax.Array, cfg: MelConfig,
+                precision: str = "highest") -> jax.Array:
     """waveform (B, num_samples) f32 -> (B, frames, n_mels) f32 features."""
-    # Feature extraction must be exact fp32 (the parity anchor is
-    # bit-matching reference features), so force full-precision matmuls —
-    # TPU "default" precision would round inputs to bf16.
-    hi = jax.lax.Precision.HIGHEST
+    hi = _matmul_precision(precision)
     wcos, wsin, fb = (jnp.asarray(a) for a in _windowed_bases(cfg))
     waveform = _ensure_min_length(waveform.astype(jnp.float32), cfg)
     frames = frame_signal(waveform.astype(jnp.float32), cfg)
@@ -224,15 +242,24 @@ def log_mel_xla(waveform: jax.Array, cfg: MelConfig) -> jax.Array:
 
 
 def log_mel(waveform: jax.Array, cfg: MelConfig, *,
-            implementation: str = "auto") -> jax.Array:
+            implementation: str = "auto",
+            precision: str = "highest") -> jax.Array:
     """Batched log-mel features. implementation: auto|xla|pallas.
 
     "auto" on TPU is batch-dependent (measured on v5e, whisper params,
     30 s clips): the fused Pallas kernel dominates at small batch
     (0.5 ms vs 7.1 ms at batch 8 — XLA pays a fixed framing/gather cost)
     but the XLA einsum formulation overtakes it at large batch
-    (13.4 ms vs 16.3 ms at batch 128, crossover ~batch 90). Both paths
-    are golden-tested against the HF/torchaudio references."""
+    (13.4 ms vs 16.3 ms at batch 128, crossover ~batch 90; at
+    precision="high" 11.1 vs 11.4-12.2 — XLA still edges it out). Both
+    paths are golden-tested against the HF/torchaudio references.
+
+    precision: "highest" (default; exact-fp32 features, the reference
+    parity anchor) or "high" (3-pass bf16 rDFT/mel matmuls) — pass
+    "high" from pipelines whose next op casts the features to bf16; the
+    error is well below one bf16 ulp (measured on v5e at batch 128:
+    max|diff| 3.4e-4, 0.08% of elements one bf16 ulp off after the
+    cast; 13.2 -> 11.1 ms)."""
     if implementation == "auto":
         if jax.default_backend() == "tpu":
             implementation = "pallas" if waveform.shape[0] < 96 else "xla"
@@ -240,5 +267,5 @@ def log_mel(waveform: jax.Array, cfg: MelConfig, *,
             implementation = "xla"
     if implementation == "pallas":
         from audio_transformers_tpu.ops.mel_pallas import log_mel_pallas
-        return log_mel_pallas(waveform, cfg)
-    return log_mel_xla(waveform, cfg)
+        return log_mel_pallas(waveform, cfg, precision=precision)
+    return log_mel_xla(waveform, cfg, precision)

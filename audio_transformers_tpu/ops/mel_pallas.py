@@ -67,7 +67,7 @@ def _padded_bases(cfg: MelConfig, k: int, row_w: int, n_freq_pad: int,
 
 def _mel_kernel(wav_hbm, wcos_ref, wsin_ref, fb_ref, out_ref,
                 rows, sem, *, tile_t: int, k: int, fetch_rows: int,
-                log_mode: str, power: float):
+                log_mode: str, power: float, precision):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -85,20 +85,37 @@ def _mel_kernel(wav_hbm, wcos_ref, wsin_ref, fb_ref, out_ref,
     # Windowed rDFT as a sum of k matmuls over row-shifted slices (see
     # module docstring).
     row_w = rows.shape[1]
-    hi = jax.lax.Precision.HIGHEST  # exact fp32 features (parity anchor)
+    exact = jax.lax.Precision.HIGHEST
+
+    def split(a):
+        hi_part = a.astype(jnp.bfloat16)
+        return hi_part, (a - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot3(a, b):
+        """Mosaic rejects Precision.HIGH, so "high" emulates the 3-pass
+        bf16 product manually: a@b ~= a_hi@b_hi + a_hi@b_lo + a_lo@b_hi
+        (error ~2^-22 relative — half the MXU passes of HIGHEST)."""
+        if precision == "highest":
+            return jnp.dot(a, b, precision=exact,
+                           preferred_element_type=jnp.float32)
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+        return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
+
     re = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
     im = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
     for j in range(k):
         rj = rows[j: j + tile_t, :]
-        re += jnp.dot(rj, wcos_ref[j * row_w: (j + 1) * row_w, :],
-                      precision=hi, preferred_element_type=jnp.float32)
-        im += jnp.dot(rj, wsin_ref[j * row_w: (j + 1) * row_w, :],
-                      precision=hi, preferred_element_type=jnp.float32)
+        re += dot3(rj, wcos_ref[j * row_w: (j + 1) * row_w, :])
+        im += dot3(rj, wsin_ref[j * row_w: (j + 1) * row_w, :])
     pw = re * re + im * im
     if power == 1.0:
         pw = jnp.sqrt(pw)
-    mel = jnp.dot(pw, fb_ref[:], precision=hi,
-                  preferred_element_type=jnp.float32)
+    # The mel projection reduces 201 frequency bins with non-negative
+    # weights — one bf16 pass would be ~1e-3; keep 3-pass there too.
+    mel = dot3(pw, fb_ref[:])
 
     if log_mode == "log_eps":
         out = jnp.log(mel + 1e-9)
@@ -113,11 +130,12 @@ def _mel_kernel(wav_hbm, wcos_ref, wsin_ref, fb_ref, out_ref,
 
 def log_mel_pallas(waveform: jax.Array, cfg: MelConfig, *,
                    tile_t: int | None = None,
+                   precision: str = "highest",
                    interpret: bool | None = None) -> jax.Array:
     """waveform (B, num_samples) -> (B, frames, n_mels) f32 features.
 
     Numerically matches `mel.log_mel_xla` / `mel.reference_log_mel`
-    (tested to ~1e-4 at fp32).
+    (tested to ~1e-4 at fp32). precision: see `mel.log_mel`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -154,9 +172,11 @@ def log_mel_pallas(waveform: jax.Array, cfg: MelConfig, *,
     wcos, wsin, fb = (jnp.asarray(a) for a in
                       _padded_bases(cfg, k, row_w, n_freq_pad, n_mel_pad))
 
+    from audio_transformers_tpu.ops.mel import _matmul_precision
+    _matmul_precision(precision)  # validate the name
     kernel = functools.partial(
         _mel_kernel, tile_t=tile_t, k=k, fetch_rows=fetch_rows,
-        log_mode=cfg.log_mode, power=cfg.power,
+        log_mode=cfg.log_mode, power=cfg.power, precision=precision,
     )
 
     flops_tile = 2 * tile_t * k * row_w * n_freq_pad * 2 \

@@ -34,6 +34,7 @@ from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
 from audio_transformers_tpu.core.metrics import MetricLogger, StepTimer
 from audio_transformers_tpu.models.whisper import emotion as emo
 from audio_transformers_tpu.ops.mel import log_mel
+from audio_transformers_tpu.ops.mel import precision_for as mel_precision_for
 from audio_transformers_tpu.parallel.mesh import (build_mesh, replicated,
                                                   shard_batch)
 from audio_transformers_tpu.train.optim import build_optimizer
@@ -79,7 +80,9 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
         attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
 
     def _forward(params, batch, *, remat, rng=None):
-        mel = log_mel(batch["waveform"], mel_cfg).astype(compute_dtype)
+        mel = log_mel(batch["waveform"], mel_cfg,
+                      precision=mel_precision_for(compute_dtype)
+                      ).astype(compute_dtype)
         if train_cfg.spec_augment and rng is not None:
             from audio_transformers_tpu.ops.specaugment import spec_augment
             mel = spec_augment(rng, mel)

@@ -82,8 +82,11 @@ def main():
     params = emo.init(jax.random.PRNGKey(0), cfg)
     compute = jnp.bfloat16 if on_tpu else jnp.float32
 
+    from audio_transformers_tpu.ops.mel import precision_for
+
     def pipeline(params, waveform, dcfg, prompt):
-        mel = log_mel(waveform, mel_cfg).astype(compute)
+        mel = log_mel(waveform, mel_cfg,
+                      precision=precision_for(compute)).astype(compute)
         enc = wm.encode(params["whisper"], w, mel, attn_impl="auto")
         out = wdecode.generate(params["whisper"], w, dcfg, enc,
                                prompt=prompt)

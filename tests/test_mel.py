@@ -155,6 +155,30 @@ class TestDevicePaths:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+    def test_precision_high_close_to_highest(self, cfg, secs):
+        """precision="high" (3-pass bf16 matmuls; used by bf16 pipelines
+        via mel.precision_for) must stay within a small fraction of one
+        bf16 ulp of the exact features, on both implementations. The
+        Pallas path emulates HIGH with a manual hi/lo bf16 split (Mosaic
+        rejects Precision.HIGH), so this also covers that decomposition
+        in interpret mode."""
+        from audio_transformers_tpu.ops.mel_pallas import log_mel_pallas
+
+        wavs = self._batch(cfg, secs, batch=2)
+        want = np.asarray(mel_ops.log_mel_xla(wavs, cfg, "highest"))
+        for got in (np.asarray(mel_ops.log_mel_xla(wavs, cfg, "high")),
+                    np.asarray(log_mel_pallas(wavs, cfg,
+                                              precision="high"))):
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+
+def test_precision_for():
+    import jax.numpy as jnp
+    assert mel_ops.precision_for(jnp.bfloat16) == "high"
+    assert mel_ops.precision_for(jnp.float16) == "high"
+    assert mel_ops.precision_for(jnp.float32) == "highest"
+
 
 def test_frame_count_whisper_30s():
     cfg = MelConfig.whisper()
