@@ -72,20 +72,28 @@ def build_prompt(cfg: WhisperConfig, dcfg: DecodeConfig) -> Tuple[int, ...]:
 def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     dcfg: DecodeConfig, prompt_len: int,
                     suppress_ids: Tuple[int, ...],
-                    begin_suppress_ids: Tuple[int, ...]):
+                    begin_suppress_ids: Tuple[int, ...],
+                    seen=None):
     # Fused composition of the HF chain (suppress -> begin-suppress ->
     # repetition penalty -> no-repeat-ngram), identical math. The static
     # suppress masks are one fused elementwise pass over the (B, V)
-    # logits. The token-dependent processors (penalty, ngram) have two
-    # implementations with a length-dependent crossover (TPU scatter cost
-    # is ~linear in UPDATE COUNT, i.e. B*L, while the mask approach pays
-    # fixed (B, V) passes):
-    #   - short buffers: scatter directly into the logits over the (B, L)
-    #     history (non-history positions redirect out of bounds, which
-    #     JAX drops — FILL_OR_DROP — so duplicate ids stay deterministic)
-    #   - long buffers: materialize (B, V) boolean masks (measured: at
-    #     L=268/B=128 the scatters cost 1.75 ms/step vs ~0.3 for masks;
-    #     at L=68 the scatter path is ~0.1 ms cheaper)
+    # logits.
+    #
+    # Repetition penalty: `seen` is the (B, V) bool mask of token ids in
+    # tokens[:, :pos]. The decode loop CARRIES it and extends it with B
+    # updates/step (see `generate`); recomputing it here per step is a
+    # (B, L)-update scatter that measured 0.33 ms/step at L=268/B=128
+    # (scripts/decode_len_ab.py) — the scatter, not the (B, V)
+    # elementwise passes, is the cost. Standalone callers may omit it.
+    #
+    # no-repeat-ngram keeps a length-dependent crossover (TPU scatter
+    # cost is ~linear in UPDATE COUNT, i.e. B*W):
+    #   - short buffers: scatter NEG_INF directly into the logits
+    #     (non-matching windows redirect out of bounds, which JAX drops
+    #     — FILL_OR_DROP — so duplicate ids stay deterministic)
+    #   - long buffers: materialize a (B, V) boolean mask (measured: at
+    #     L=268/B=128 the fp32 scatters cost 1.75 ms/step vs ~0.3 for
+    #     masks; at L=68 the scatter path is ~0.1 ms cheaper)
     vocab = logits.shape[-1]
     b = logits.shape[0]
     b_idx = jnp.arange(b)[:, None]
@@ -106,16 +114,10 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
         logits = jnp.where(mask, lp.NEG_INF, logits)
     if dcfg.repetition_penalty != 1.0:
         p = dcfg.repetition_penalty
-        if use_scatter:
-            in_hist = jnp.arange(tokens.shape[1])[None, :] < pos
-            vals = jnp.take_along_axis(logits, tokens, axis=1)  # (B, L)
-            pen = jnp.where(vals > 0, vals / p, vals * p)
-            idx = jnp.where(in_hist, tokens, vocab)  # OOB -> dropped
-            logits = logits.at[b_idx, idx].set(pen)
-        else:
+        if seen is None:
             seen = lp.seen_mask(tokens, pos, vocab)
-            logits = jnp.where(seen & (logits > 0), logits / p,
-                               jnp.where(seen, logits * p, logits))
+        logits = jnp.where(seen & (logits > 0), logits / p,
+                           jnp.where(seen, logits * p, logits))
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
@@ -199,13 +201,25 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     step_params = wm.prepare_decode_params(params, cfg, dtype=enc.dtype)
     finished = jnp.zeros((batch,), bool)
     key = rng if rng is not None else jax.random.PRNGKey(0)
+    # Incremental seen-token mask for the repetition penalty: extended
+    # with B scatter updates per step as tokens are emitted, instead of
+    # rebuilding from the (B, L) history every step (0.33 ms/step at
+    # L=268/B=128 — scripts/decode_len_ab.py). Seeded with position 0;
+    # prompt-forced and post-EOS pad tokens flow through `nxt`, so the
+    # carry stays exactly equal to seen_mask(tokens, pos).
+    track_seen = dcfg.repetition_penalty != 1.0
+    if track_seen:
+        seen = jnp.zeros((batch, cfg.vocab_size), bool).at[
+            jnp.arange(batch), tokens[:, 0]].set(True)
+    else:
+        seen = jnp.zeros((batch, 1), bool)  # placeholder carry
 
     def cond(state):
-        tokens, hiddens, cache, finished, key = state
+        tokens, hiddens, cache, finished, key, seen = state
         return (cache["index"] < L - 1) & ~jnp.all(finished)
 
     def body(state):
-        tokens, hiddens, cache, finished, key = state
+        tokens, hiddens, cache, finished, key, seen = state
         i = cache["index"]
         tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
         hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
@@ -221,7 +235,8 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         logits = jnp.einsum("bd,vd->bv", hidden, table,
                             preferred_element_type=jnp.float32)
         logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,
-                                 suppress_ids, begin_suppress_ids)
+                                 suppress_ids, begin_suppress_ids,
+                                 seen=seen if track_seen else None)
 
         if dcfg.temperature and dcfg.temperature > 0.0:
             key, sub = jax.random.split(key)
@@ -237,11 +252,13 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, pos))
+        if track_seen:
+            seen = seen.at[jnp.arange(batch), nxt].set(True)
         finished = finished | (~in_prompt & (nxt == cfg.eos_token_id))
-        return tokens, hiddens, cache, finished, key
+        return tokens, hiddens, cache, finished, key, seen
 
-    tokens, hiddens, cache, finished, key = jax.lax.while_loop(
-        cond, body, (tokens, hiddens, cache, finished, key))
+    tokens, hiddens, cache, finished, key, seen = jax.lax.while_loop(
+        cond, body, (tokens, hiddens, cache, finished, key, seen))
 
     # If a row never finished, feed the final token once more so its hidden
     # state exists for pooling.

@@ -158,13 +158,16 @@ def whisper_timestamp_rules(
         logits = jnp.where(at_begin & (vocab_ids[None, :] > cap), NEG_INF,
                            logits)
 
-    # probability rule
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    ts_logprob = jax.nn.logsumexp(
-        jnp.where(is_ts_vocab[None, :], logprobs, NEG_INF), axis=-1)
-    max_text = jnp.max(jnp.where(is_ts_vocab[None, :], NEG_INF, logprobs),
-                       axis=-1)
-    force_ts = ts_logprob > max_text
-    logits = jnp.where(force_ts[:, None] & ~is_ts_vocab[None, :], NEG_INF,
-                       logits)
+    # probability rule: HF compares logsumexp(ts logprobs) against
+    # max(text logprobs); log_softmax subtracts the same per-row constant
+    # from both sides, so it cancels — compare in raw-logit space over
+    # the two contiguous vocab halves instead of materializing a (B, V)
+    # logprobs buffer (saves ~3 full (B, V) passes per decode step).
+    tb = min(max(timestamp_begin, 0), vocab)
+    if 0 < tb < vocab:
+        lse_ts = jax.nn.logsumexp(logits[:, tb:], axis=-1)
+        max_text = jnp.max(logits[:, :tb], axis=-1)
+        force_ts = lse_ts > max_text
+        logits = jnp.where(force_ts[:, None] & ~is_ts_vocab[None, :],
+                           NEG_INF, logits)
     return logits

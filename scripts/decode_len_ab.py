@@ -52,6 +52,7 @@ def main(argv=None):
     B = args.batch if on_tpu else 4
     REPS = args.reps if on_tpu else 1
     L, L_SHORT = (268, 140) if on_tpu else (24, 16)
+    L_TINY = 68 if on_tpu else 12  # the bench/headline decode geometry
 
     rng = np.random.default_rng(0)
     waveform = jnp.asarray(
@@ -66,6 +67,11 @@ def main(argv=None):
     # read at trace time, so it gets max_len+1 to force its own program
     # (identical static args would silently reuse the first compile).
     variants = [
+        ("noproc_tiny", dict(kv_quant="none"), L_TINY),
+        ("pen_tiny", dict(kv_quant="none", repetition_penalty=1.15),
+         L_TINY),
+        ("full_tiny", dict(kv_quant="none", repetition_penalty=1.15,
+                           no_repeat_ngram_size=3), L_TINY),
         ("noproc_short", dict(kv_quant="none"), L_SHORT),
         ("noproc", dict(kv_quant="none"), L),
         ("pen", dict(kv_quant="none", repetition_penalty=1.15), L),
@@ -111,11 +117,14 @@ def main(argv=None):
     slope = (base - best["noproc_short"]) / (L - L_SHORT)
     print(f"\nnoproc total {base:.1f} ms over {L - 1} steps "
           f"(marginal per-step from L-slope: {slope:.3f} ms)", flush=True)
-    for name, _, max_len in variants[1:]:
+    for name, _, max_len in variants:
+        if name == "noproc_short":
+            continue
+        ref = "noproc_tiny" if name.endswith("_tiny") else "noproc"
         steps = max_len - 1
         print(f"{name:18s} {best[name]:8.1f} ms total  "
               f"{best[name]/steps:6.3f} ms/step  "
-              f"delta vs noproc {(best[name]-base)/steps:+.3f} ms/step",
+              f"delta vs {ref} {(best[name]-best[ref])/steps:+.3f} ms/step",
               flush=True)
 
 
