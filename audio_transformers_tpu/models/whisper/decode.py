@@ -121,23 +121,46 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
+        length = tokens.shape[1]
+        last = jax.lax.dynamic_slice(
+            tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
+        num_windows = length - n + 1
+        match = jnp.ones((b, num_windows), bool)
+        for j in range(n - 1):
+            match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
+        starts = jnp.arange(num_windows)
+        valid = (starts[None, :] + (n - 1)) < pos  # fully in history
+        cont = tokens[:, n - 1: n - 1 + num_windows]
+        flag = match & valid & (pos >= n)
         if use_scatter:
-            length = tokens.shape[1]
-            last = jax.lax.dynamic_slice(
-                tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
-            num_windows = length - n + 1
-            match = jnp.ones((b, num_windows), bool)
-            for j in range(n - 1):
-                match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
-            starts = jnp.arange(num_windows)
-            valid = (starts[None, :] + (n - 1)) < pos  # fully in history
-            cont = tokens[:, n - 1: n - 1 + num_windows]
-            flag = match & valid & (pos >= n)
             idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
             logits = logits.at[b_idx, idx].set(lp.NEG_INF)
         else:
-            banned = lp.ngram_banned_mask(tokens, pos, n, vocab)
-            logits = jnp.where(banned, lp.NEG_INF, logits)
+            # A step typically flags only a handful of windows (the ones
+            # whose (n-1)-gram equals the current suffix), so compact the
+            # scatter to the top-K flagged window positions — B*K updates
+            # instead of B*W (the dense B*W bool scatter measured
+            # 0.29 ms/step at L=268/B=128). Exactness is preserved by a
+            # cond-fallback to the dense mask whenever ANY row flags more
+            # than K windows (degenerate loops near the very end of a
+            # long buffer), so nothing is ever silently dropped.
+            K = 16
+
+            def sparse(lg):
+                w_idx = jax.lax.top_k(
+                    jnp.where(flag, starts[None, :], -1), K)[0]  # (B, K)
+                cont_k = jnp.take_along_axis(
+                    cont, jnp.maximum(w_idx, 0), axis=1)
+                idx = jnp.where(w_idx >= 0, cont_k, vocab)  # OOB -> drop
+                return lg.at[b_idx, idx].set(lp.NEG_INF)
+
+            def dense(lg):
+                banned = jnp.zeros((b, vocab), bool).at[
+                    b_idx, cont].max(flag)
+                return jnp.where(banned, lp.NEG_INF, lg)
+
+            logits = jax.lax.cond(
+                jnp.any(jnp.sum(flag, axis=1) > K), dense, sparse, logits)
     if dcfg.return_timestamps:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,

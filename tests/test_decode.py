@@ -417,3 +417,35 @@ def test_fused_processor_chain_matches_sequential():
         want = lp.no_repeat_ngram(want, tokens, jnp.int32(pos), 3)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"pos={pos}")
+
+
+def test_long_buffer_ngram_sparse_and_dense_fallback():
+    """The long-buffer (>128) ngram path compacts the scatter to the top-K
+    flagged windows and cond-falls back to the dense mask when any row
+    flags more than K. Both branches must equal the sequential processor:
+    random tokens exercise the sparse branch; a degenerate alternating row
+    (half of all windows match the suffix) forces the dense branch."""
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    WhisperConfig)
+
+    rng = np.random.default_rng(11)
+    b, vocab, length = 4, 2048, 160
+    logits = jnp.asarray(rng.standard_normal((b, vocab)).astype(np.float32))
+    cfg = WhisperConfig.test()
+    dcfg = DecodeConfig(no_repeat_ngram_size=3, repetition_penalty=1.15)
+
+    sparse_tokens = jnp.asarray(
+        rng.integers(0, vocab, (b, length)).astype(np.int32))
+    dense_tokens = np.asarray(sparse_tokens).copy()
+    dense_tokens[0] = np.resize([7, 9], length)  # ~79 matching windows > K
+    dense_tokens = jnp.asarray(dense_tokens)
+
+    for tokens in (sparse_tokens, dense_tokens):
+        for pos in (3, 130, length - 1):
+            got = wdecode._process_logits(logits, tokens, jnp.int32(pos),
+                                          cfg, dcfg, 3, (), ())
+            want = lp.repetition_penalty(logits, tokens, jnp.int32(pos),
+                                         1.15)
+            want = lp.no_repeat_ngram(want, tokens, jnp.int32(pos), 3)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"pos={pos}")
