@@ -163,6 +163,9 @@ def whisper_timestamp_rules(
     # from both sides, so it cancels — compare in raw-logit space over
     # the two contiguous vocab halves instead of materializing a (B, V)
     # logprobs buffer (saves ~3 full (B, V) passes per decode step).
+    # Mathematically identical to HF; rounding differs only when the two
+    # sides are within one ulp of each other (full-geometry HF parity is
+    # asserted in tests/test_full_geometry_parity.py).
     tb = min(max(timestamp_begin, 0), vocab)
     if 0 < tb < vocab:
         lse_ts = jax.nn.logsumexp(logits[:, tb:], axis=-1)
