@@ -234,14 +234,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     causal: bool = False, scale: float | None = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 512, block_k: int = 512,
                     interpret: bool | None = None) -> jax.Array:
     """q (B,H,Tq,D), k/v (B,H,Tk,D) -> (B,H,Tq,D). Differentiable.
 
-    Default blocks from a same-process fwd+bwd sweep on v5e (whisper-tiny,
-    batch 16, T=1500): 256/512 -> 37.6 ms/step vs 40.4 (512/512),
-    41.5 (256/256), 49.9 (1024/512); larger q blocks OOM the dkv kernel's
-    VMEM scratch at block_k 1536."""
+    Default blocks from same-process interleaved fwd+bwd sweeps on v5e
+    (whisper-tiny encoder shape H=6, T=1500, d=64 —
+    scripts/flash_train_block_sweep.py, min over rounds): 512/512 wins at
+    BOTH training batches (b16: 1.83 ms vs 2.06 for 256/512; b64: 7.86 vs
+    10.09, a 22% gap). An earlier noisier train-step sweep had picked
+    256/512. Larger q blocks OOM the dkv kernel's VMEM scratch at
+    block_k 1536."""
     if interpret is None:
         interpret = _interpret_default()
     d = q.shape[-1]
