@@ -248,6 +248,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if interpret is None:
         interpret = _interpret_default()
     d = q.shape[-1]
+    # Clamp blocks to the (128-aligned) sequence lengths: the encoder
+    # wants big 512 blocks, but a short-sequence caller (classifier
+    # T~173, decoder self-attention T=48) would otherwise pad the whole
+    # grid up to the block and burn 2-3x the tiles on masked rows.
+    block_q = min(block_q, _round_up(q.shape[2], 128))
+    block_k = min(block_k, _round_up(k.shape[2], 128))
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     # Fold the softmax scale into q (one pass over q) instead of scaling
     # every (block_q, block_k) logit tile inside the kernel — at encoder
