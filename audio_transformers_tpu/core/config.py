@@ -283,6 +283,13 @@ class DecodeConfig(_ConfigBase):
     # Off by default: greedy token parity with fp32/bf16 decode is only
     # approximate under quantization.
     kv_quant: str = "none"
+    # "auto" | "fused" | "xla": how the per-step vocab projection + logit
+    # processors + token pick run. "fused" is the Pallas kernel that never
+    # materializes the (B, V) logits in HBM (ops/decode_logits.py; greedy,
+    # non-timestamp decodes only — others always take the XLA chain).
+    # "auto" resolves to "fused" on TPU when eligible. Token-for-token
+    # identical to "xla" (tests/test_decode.py).
+    logits_impl: str = "auto"
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from audio_transformers_tpu.core.config import DecodeConfig, WhisperConfig
 from audio_transformers_tpu.models.whisper import model as wm
+from audio_transformers_tpu.ops import decode_logits as dl
 from audio_transformers_tpu.ops import logit_processors as lp
 
 # Begin-suppress defaults: " " and <|endoftext|> (whisper generation config).
@@ -69,11 +70,95 @@ def build_prompt(cfg: WhisperConfig, dcfg: DecodeConfig) -> Tuple[int, ...]:
     return tuple(prompt)
 
 
+# Token-buffer length up to which the no-repeat-ngram ban scatters
+# directly into its target (B*W updates); above it, the scatter is
+# compacted to the top-K flagged windows (see _process_logits).
+NGRAM_SCATTER_MAX_LEN = 128
+
+
+def resolve_logits_impl(dcfg: DecodeConfig) -> str:
+    """Resolve DecodeConfig.logits_impl. Sampling and timestamped decodes
+    always take "xla": temperature needs the full distribution and the
+    timestamp rules need global row statistics (log-softmax sums),
+    neither of which the fused kernel materializes.
+
+    "auto" picks the fused kernel ONLY for the repetition-penalty-
+    without-ngram chain, measured in-pipeline on v5e at the headline
+    geometry (B=128, int8 KV, L=68): the penalty's (B, V) passes force
+    XLA to materialize the logits, so the kernel wins there (1.042 vs
+    1.073 ms/step); everywhere else XLA's dot+argmax consumer fusion
+    keeps the bf16 table VMEM-resident across loop steps and beats the
+    kernel's HBM re-stream (noproc 0.986 vs 1.024; penalty+ngram 1.124
+    vs 1.158 — the int8 ban-mask build/read outweighs the fused pass)."""
+    impl = dcfg.logits_impl
+    if impl == "auto":
+        pen_only = (dcfg.repetition_penalty != 1.0
+                    and not dcfg.no_repeat_ngram_size)
+        impl = ("fused" if pen_only
+                and jax.default_backend() == "tpu" else "xla")
+    if impl == "fused" and (
+            (dcfg.temperature and dcfg.temperature > 0.0)
+            or dcfg.return_timestamps):
+        return "xla"
+    return impl
+
+
+def _ngram_window_flags(tokens, pos, n, finished=None):
+    """no-repeat-ngram window matching over the (B, L) history: returns
+    (flag, cont, starts) where flag (B, W) marks history windows whose
+    (n-1)-gram equals the current suffix, cont (B, W) is each window's
+    continuation token id, and starts is the window-start iota. Rows
+    already `finished` are unflagged: their post-EOS pad runs would
+    otherwise flag ~every window (their next token is forced to pad
+    regardless, so banning is moot — but a single finished row tripping
+    the top-K overflow would drag every step into the dense branch)."""
+    b, length = tokens.shape
+    last = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
+    num_windows = length - n + 1
+    match = jnp.ones((b, num_windows), bool)
+    for j in range(n - 1):
+        match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
+    starts = jnp.arange(num_windows)
+    valid = (starts[None, :] + (n - 1)) < pos  # fully in history
+    flag = match & valid & (pos >= n)
+    if finished is not None:
+        flag &= ~finished[:, None]
+    cont = tokens[:, n - 1: n - 1 + num_windows]
+    return flag, cont, starts
+
+
+def _fused_ban_mask(tokens, pos, n, v_pad, finished):
+    """(B, v_pad) int8 no-repeat-ngram ban mask for the fused greedy
+    kernel — same window matching and short/long scatter strategy as the
+    XLA path in `_process_logits`, but targeting an int8 mask instead of
+    the (never materialized) logits."""
+    b = tokens.shape[0]
+    b_idx = jnp.arange(b)[:, None]
+    flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
+    zeros = jnp.zeros((b, v_pad), jnp.int8)
+    if tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN:
+        idx = jnp.where(flag, cont, v_pad)            # OOB -> dropped
+        return zeros.at[b_idx, idx].set(1)
+    K = 16
+
+    def sparse(_):
+        w_idx = jax.lax.top_k(jnp.where(flag, starts[None, :], -1), K)[0]
+        cont_k = jnp.take_along_axis(cont, jnp.maximum(w_idx, 0), axis=1)
+        idx = jnp.where(w_idx >= 0, cont_k, v_pad)    # OOB -> dropped
+        return zeros.at[b_idx, idx].set(1)
+
+    def dense(_):
+        return zeros.at[b_idx, cont].max(flag.astype(jnp.int8))
+
+    return jax.lax.cond(jnp.any(jnp.sum(flag, axis=1) > K), dense, sparse, 0)
+
+
 def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     dcfg: DecodeConfig, prompt_len: int,
                     suppress_ids: Tuple[int, ...],
                     begin_suppress_ids: Tuple[int, ...],
-                    seen=None):
+                    seen=None, finished=None):
     # Fused composition of the HF chain (suppress -> begin-suppress ->
     # repetition penalty -> no-repeat-ngram), identical math. The static
     # suppress masks are one fused elementwise pass over the (B, V)
@@ -97,7 +182,7 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     vocab = logits.shape[-1]
     b = logits.shape[0]
     b_idx = jnp.arange(b)[:, None]
-    use_scatter = tokens.shape[1] <= 128
+    use_scatter = tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN
     static_mask = None  # (V,) bool, position-independent
     if len(suppress_ids):
         static_mask = jnp.zeros((vocab,), bool).at[
@@ -121,17 +206,7 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
-        length = tokens.shape[1]
-        last = jax.lax.dynamic_slice(
-            tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
-        num_windows = length - n + 1
-        match = jnp.ones((b, num_windows), bool)
-        for j in range(n - 1):
-            match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
-        starts = jnp.arange(num_windows)
-        valid = (starts[None, :] + (n - 1)) < pos  # fully in history
-        cont = tokens[:, n - 1: n - 1 + num_windows]
-        flag = match & valid & (pos >= n)
+        flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
         if use_scatter:
             idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
             logits = logits.at[b_idx, idx].set(lp.NEG_INF)
@@ -224,16 +299,44 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     step_params = wm.prepare_decode_params(params, cfg, dtype=enc.dtype)
     finished = jnp.zeros((batch,), bool)
     key = rng if rng is not None else jax.random.PRNGKey(0)
+    # Fused greedy step: vocab projection + processors + argmax in one
+    # Pallas kernel, (B, V) logits never reach HBM (ops/decode_logits.py;
+    # see resolve_logits_impl for the measured scope where it wins). Its
+    # padded operands — the transposed table and the additive suppress
+    # vectors — are built ONCE here, outside the loop.
+    fused_logits = resolve_logits_impl(dcfg) == "fused"
+    if fused_logits:
+        v_pad = dl.pad_vocab(cfg.vocab_size)
+        d_pad = -(-cfg.d_model // 128) * 128
+        tbl = step_params["embed"]["table"]  # (V, D) compute dtype
+        table_t = jnp.zeros((d_pad, v_pad), tbl.dtype).at[
+            :cfg.d_model, :cfg.vocab_size].set(tbl.T)
+        add_base = jnp.zeros((v_pad,), jnp.float32)
+        if cfg.vocab_size < v_pad:
+            add_base = add_base.at[cfg.vocab_size:].set(lp.NEG_INF)
+        if len(suppress_ids):
+            add_base = add_base.at[
+                jnp.asarray(list(suppress_ids), jnp.int32)].set(lp.NEG_INF)
+        add_begin = add_base
+        if len(begin_suppress_ids):
+            add_begin = add_begin.at[
+                jnp.asarray(list(begin_suppress_ids), jnp.int32)
+            ].set(lp.NEG_INF)
+        add_base = add_base[None, :]
+        add_begin = add_begin[None, :]
     # Incremental seen-token mask for the repetition penalty: extended
     # with B scatter updates per step as tokens are emitted, instead of
     # rebuilding from the (B, L) history every step (0.33 ms/step at
     # L=268/B=128 — scripts/decode_len_ab.py). Seeded with position 0;
     # prompt-forced and post-EOS pad tokens flow through `nxt`, so the
-    # carry stays exactly equal to seen_mask(tokens, pos).
+    # carry stays exactly equal to seen_mask(tokens, pos). The fused path
+    # carries it int8 at the kernel's padded vocab width.
     track_seen = dcfg.repetition_penalty != 1.0
     if track_seen:
-        seen = jnp.zeros((batch, cfg.vocab_size), bool).at[
-            jnp.arange(batch), tokens[:, 0]].set(True)
+        seen_width = v_pad if fused_logits else cfg.vocab_size
+        seen = jnp.zeros(
+            (batch, seen_width), jnp.int8 if fused_logits else bool,
+        ).at[jnp.arange(batch), tokens[:, 0]].set(True)
     else:
         seen = jnp.zeros((batch, 1), bool)  # placeholder carry
 
@@ -251,22 +354,39 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
             hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
 
         pos = i + 1  # position being generated
-        # step_params' table is already in the compute dtype — using the
-        # raw fp32 table here would cast (read+write the full 51865 x 384
-        # matrix) EVERY step inside the loop
-        table = step_params["embed"]["table"].astype(hidden.dtype)
-        logits = jnp.einsum("bd,vd->bv", hidden, table,
-                            preferred_element_type=jnp.float32)
-        logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,
-                                 suppress_ids, begin_suppress_ids,
-                                 seen=seen if track_seen else None)
-
-        if dcfg.temperature and dcfg.temperature > 0.0:
-            key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, logits / dcfg.temperature,
-                                         axis=-1).astype(jnp.int32)
+        if fused_logits:
+            add = add_begin if not len(begin_suppress_ids) else jnp.where(
+                pos == p_len, add_begin, add_base)
+            ban = None
+            if dcfg.no_repeat_ngram_size and \
+                    tokens.shape[1] >= dcfg.no_repeat_ngram_size:
+                ban = _fused_ban_mask(tokens, pos,
+                                      dcfg.no_repeat_ngram_size,
+                                      v_pad, finished)
+            h = hidden if cfg.d_model == d_pad else jnp.pad(
+                hidden, ((0, 0), (0, d_pad - cfg.d_model)))
+            nxt = dl.fused_greedy_step(
+                h, table_t, add,
+                seen=seen if track_seen else None, ban=ban,
+                penalty=dcfg.repetition_penalty)
         else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # step_params' table is already in the compute dtype — using
+            # the raw fp32 table here would cast (read+write the full
+            # 51865 x 384 matrix) EVERY step inside the loop
+            table = step_params["embed"]["table"].astype(hidden.dtype)
+            logits = jnp.einsum("bd,vd->bv", hidden, table,
+                                preferred_element_type=jnp.float32)
+            logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,
+                                     suppress_ids, begin_suppress_ids,
+                                     seen=seen if track_seen else None,
+                                     finished=finished)
+
+            if dcfg.temperature and dcfg.temperature > 0.0:
+                key, sub = jax.random.split(key)
+                nxt = jax.random.categorical(sub, logits / dcfg.temperature,
+                                             axis=-1).astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         # inside the forced prompt, the next token is the prompt token
         in_prompt = pos < p_len

@@ -1,0 +1,202 @@
+"""Fused vocabulary projection + logit processors + argmax for greedy decode.
+
+The decode loop's per-step tail is HBM-bound bookkeeping on a (B, V)
+fp32 buffer that only exists to pick ONE token per row: the tied
+projection writes 26.5 MB (batch 128, vocab 51865), then the repetition
+penalty, suppress masks and no-repeat-ngram ban each read+write it, and
+argmax reads it once more — ~0.17-0.20 ms/step of pure traffic at the
+headline geometry (scripts/decode_step_ab.py). None of that buffer is
+ever needed off-chip.
+
+This kernel computes the projection tile-by-tile over the vocab on the
+MXU ((B, D) x (D, block_v) per grid step), applies the processor chain
+in-register (additive suppress vector, seen-mask repetition penalty,
+ngram ban mask), and carries a running (max, argmax) in VMEM scratch —
+the (B, V) logits never reach HBM. Per-step traffic drops to the
+irreducible reads: the bf16 table (~40 MB) plus two int8 masks (~13 MB).
+
+Measured scope (v5e, B=128, V=51865, in the production decode loop):
+the kernel wins ONLY the penalty-without-ngram chain (1.042 vs 1.073
+ms/step) — the penalty's (B, V) elementwise passes are what force the
+XLA path to materialize the logits. Without processors XLA fuses
+dot+argmax into one consumer and keeps the bf16 table VMEM-resident
+across while-loop steps, beating the kernel's per-call HBM re-stream
+(0.986 vs 1.024); with ngram banning the int8 ban-mask build + read
+outweighs the fused pass (1.124 vs 1.158). resolve_logits_impl encodes
+exactly that scope for "auto". Standalone (outside the loop, where
+nothing is VMEM-resident) the full chain is 0.083 vs 0.128 ms/step in
+the kernel's favor — see scripts/decode_step_ab.py for the methodology.
+
+Semantics match the XLA chain in models/whisper/decode._process_logits
+followed by argmax, token-for-token: suppress/begin are applied before
+the penalty (a suppressed logit saturates to ~finfo.min either way and
+can never win the argmax), the penalty divides positive / multiplies
+negative seen logits in f32, the ban mask is applied last, and ties
+resolve to the lowest index (in-tile first-match via an iota-min, across
+tiles via a strict-greater update).
+
+Greedy only: temperature sampling needs the full distribution and stays
+on the XLA path, as does the timestamped decode (its rules need global
+row statistics).
+
+Reference equivalent: the LogitsProcessor list + argmax inside HF
+generate (driven by whisper_finetune/evaluate_simple.py:125-135); there
+each processor is a separate CUDA kernel over the full (B, V) buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_vocab(v: int, block_v: int = 1024) -> int:
+    """The padded vocab size the fused step expects its (.., V) operands
+    (transposed table, additive vector, seen/ban masks) to carry."""
+    return _round_up(v, block_v)
+
+
+def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, out_ref,
+            m_ref, i_ref, *, block_v: int, penalty: float,
+            use_seen: bool, use_ban: bool):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        i_ref[:] = jnp.zeros_like(i_ref)
+
+    l = jax.lax.dot_general(
+        h_ref[:], t_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (bb, bv) f32
+    l = l + add_ref[:]                               # suppress/begin/pad
+    if use_seen:
+        s = seen_ref[:] != 0
+        l = jnp.where(s & (l > 0), l / penalty,
+                      jnp.where(s, l * penalty, l))
+    if use_ban:
+        l = jnp.where(ban_ref[:] != 0, NEG_INF, l)
+
+    tm = jnp.max(l, axis=1, keepdims=True)           # (bb, 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+    ti = jnp.min(jnp.where(l == tm, lanes, _INT_MAX), axis=1,
+                 keepdims=True) + j * block_v        # first max in tile
+    upd = tm > m_ref[:, :1]
+    m_new = jnp.where(upd, tm, m_ref[:, :1])
+    i_new = jnp.where(upd, ti, i_ref[:, :1])
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    i_ref[:] = jnp.broadcast_to(i_new, i_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = jnp.broadcast_to(i_ref[:, :1], out_ref.shape)
+
+
+def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
+                      add_vec: jax.Array, *,
+                      seen: Optional[jax.Array] = None,
+                      ban: Optional[jax.Array] = None,
+                      penalty: float = 1.0,
+                      block_v: int = 1024,
+                      block_b: int = 128,
+                      interpret: bool | None = None) -> jax.Array:
+    """One greedy next-token step. Returns (B,) int32 argmax indices.
+
+    hidden  (B, D)       compute dtype (bf16 on TPU)
+    table_t (D, V_pad)   the TRANSPOSED tied embedding, vocab padded to
+                         a block_v multiple (prepare_decode_params)
+    add_vec (1, V_pad)   f32 additive mask: 0 everywhere except NEG_INF
+                         at suppressed ids and the padded vocab tail
+                         (plus NEG_INF at begin-suppress ids on the
+                         first generated position — fold the position
+                         flag in OUTSIDE, it is a (V,) op)
+    seen    (B, V_pad)   int8 0/1, ids present in the history (only when
+                         penalty != 1.0)
+    ban     (B, V_pad)   int8 0/1, no-repeat-ngram banned ids this step
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = hidden.shape
+    v_pad = table_t.shape[1]
+    if v_pad % block_v:
+        raise ValueError(f"V_pad={v_pad} not a multiple of block_v={block_v}")
+    use_seen = seen is not None
+    use_ban = ban is not None
+    if use_seen and penalty == 1.0:
+        raise ValueError("seen mask given but penalty is 1.0")
+    block_b = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, block_b)
+
+    def pad_b(x):
+        return x if x.shape[0] == b_pad else jnp.pad(
+            x, ((0, b_pad - b),) + ((0, 0),) * (x.ndim - 1))
+
+    hf = pad_b(hidden)
+    seen_f = pad_b(seen) if use_seen else jnp.zeros((b_pad, 128), jnp.int8)
+    ban_f = pad_b(ban) if use_ban else jnp.zeros((b_pad, 128), jnp.int8)
+
+    mask_spec = lambda on: pl.BlockSpec(
+        (block_b, block_v if on else 128),
+        (lambda i, j: (i, j)) if on else (lambda i, j: (i, 0)),
+        memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, block_v=block_v, penalty=penalty,
+                               use_seen=use_seen, use_ban=use_ban)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // block_b, v_pad // block_v),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_v), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            mask_spec(use_seen),
+            mask_spec(use_ban),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * d * v_pad,
+            bytes_accessed=(table_t.size * table_t.dtype.itemsize
+                            + (seen_f.size if use_seen else 0)
+                            + (ban_f.size if use_ban else 0)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hf, table_t, add_vec.astype(jnp.float32), seen_f, ban_f)
+    return out[:b, 0]
+
+
+def fused_greedy_step_reference(hidden, table_t, add_vec, *, seen=None,
+                                ban=None, penalty=1.0) -> jax.Array:
+    """XLA oracle with identical semantics (same padded operands)."""
+    l = jnp.einsum("bd,dv->bv", hidden, table_t,
+                   preferred_element_type=jnp.float32)
+    l = l + add_vec.astype(jnp.float32)
+    if seen is not None:
+        s = seen != 0
+        l = jnp.where(s & (l > 0), l / penalty,
+                      jnp.where(s, l * penalty, l))
+    if ban is not None:
+        l = jnp.where(ban != 0, NEG_INF, l)
+    return jnp.argmax(l, axis=-1).astype(jnp.int32)

@@ -449,3 +449,115 @@ def test_long_buffer_ngram_sparse_and_dense_fallback():
             want = lp.no_repeat_ngram(want, tokens, jnp.int32(pos), 3)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                           err_msg=f"pos={pos}")
+
+
+class TestFusedGreedyLogits:
+    """The fused vocab-projection+processors+argmax kernel
+    (ops/decode_logits.py) must pick the same token as the XLA chain —
+    both standalone and end-to-end through `generate(logits_impl=...)`.
+    Runs in Pallas interpret mode on the CPU mesh; the Mosaic compile is
+    covered on real TPU by bench/A-B scripts."""
+
+    def test_kernel_matches_reference(self):
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step, fused_greedy_step_reference,
+            pad_vocab)
+
+        rng = np.random.default_rng(0)
+        b, d, vocab = 5, 128, 3100
+        v_pad = pad_vocab(vocab)
+        hidden = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+        table_t = jnp.asarray(rng.standard_normal((d, v_pad)) * 0.05,
+                              jnp.float32)
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        add[0, [1, 2, 3050]] = NEG_INF
+        add = jnp.asarray(add)
+        seen = jnp.asarray(rng.integers(0, 2, (b, v_pad)), jnp.int8)
+        ban = jnp.zeros((b, v_pad), jnp.int8).at[0, 7].set(1).at[3, 123].set(1)
+        for kw in [dict(), dict(seen=seen, penalty=1.15),
+                   dict(seen=seen, penalty=1.15, ban=ban), dict(ban=ban)]:
+            got = fused_greedy_step(hidden, table_t, add, **kw)
+            want = fused_greedy_step_reference(hidden, table_t, add, **kw)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=str(sorted(kw)))
+
+    def test_kernel_tie_breaks_to_lowest_index(self):
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step, pad_vocab)
+
+        # identical columns across two vocab tiles: argmax must take the
+        # lowest index, like jnp.argmax
+        d, vocab = 128, 2048
+        v_pad = pad_vocab(vocab)
+        hidden = jnp.ones((2, d), jnp.float32)
+        col = np.zeros((d,), np.float32)
+        col[0] = 1.0
+        table = np.zeros((d, v_pad), np.float32)
+        table[:, 40] = col       # tile 0
+        table[:, 1500] = col     # tile 1 (same score)
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        got = fused_greedy_step(jnp.asarray(hidden), jnp.asarray(table),
+                                jnp.asarray(add))
+        np.testing.assert_array_equal(np.asarray(got), [40, 40])
+
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(repetition_penalty=1.15),
+        dict(repetition_penalty=1.15, no_repeat_ngram_size=3),
+        dict(no_repeat_ngram_size=2),
+        dict(suppress_blank=False),
+    ])
+    def test_generate_token_parity(self, hf_pair, kw):
+        _, cfg, params = hf_pair
+        mel = jnp.asarray(_mel(3, 2 * cfg.max_source_positions, cfg.n_mels,
+                               seed=23))
+        enc = wm.encode_jit(params, cfg, mel, attn_impl="xla")
+        outs = {}
+        for impl in ("xla", "fused"):
+            dcfg = DecodeConfig(max_new_tokens=20, logits_impl=impl, **kw)
+            outs[impl] = wdecode.generate(params, cfg, dcfg, enc,
+                                          prompt=(1, 3),
+                                          suppress_ids=(7, 9, 250))
+        np.testing.assert_array_equal(np.asarray(outs["xla"]["tokens"]),
+                                      np.asarray(outs["fused"]["tokens"]))
+        np.testing.assert_array_equal(np.asarray(outs["xla"]["lengths"]),
+                                      np.asarray(outs["fused"]["lengths"]))
+
+    def test_generate_long_buffer_parity(self):
+        """A 150-token decode (> the 128 short/long ngram crossover) with a
+        tiny vocab and EOS suppressed: exercises the top-K-compacted int8
+        ban-mask build and its dense cond-fallback inside the fused path."""
+        from audio_transformers_tpu.core.config import WhisperConfig
+
+        cfg = WhisperConfig.test().replace(
+            vocab_size=64, max_target_positions=256)
+        params = wm.init(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.n_mels)), jnp.float32)
+        enc = wm.encode_jit(params, cfg, mel, attn_impl="xla")
+        outs = {}
+        for impl in ("xla", "fused"):
+            dcfg = DecodeConfig(max_new_tokens=148, logits_impl=impl,
+                                no_repeat_ngram_size=3,
+                                repetition_penalty=1.3)
+            outs[impl] = wdecode.generate(params, cfg, dcfg, enc,
+                                          prompt=(1, 3),
+                                          suppress_ids=(cfg.eos_token_id,))
+        assert int(outs["xla"]["lengths"].max()) == 150  # ran to budget
+        np.testing.assert_array_equal(np.asarray(outs["xla"]["tokens"]),
+                                      np.asarray(outs["fused"]["tokens"]))
+
+    def test_resolve_gating(self):
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="fused", temperature=0.7)) == "xla"
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="fused", return_timestamps=True)) \
+            == "xla"
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="fused")) == "fused"
+        # "auto" is backend-sensitive: XLA on the CPU test mesh
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="auto")) == "xla"
