@@ -25,7 +25,7 @@ def parse_args(argv=None):
     p.add_argument("--max_segments", type=int, default=None,
                    help="segment buffer size; default sizes it from the "
                         "decode length so nothing is ever dropped")
-    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+    p.add_argument("--kv_quant", default="none", choices=["none", "int8", "int4"],
                    help="int8-quantize the decode cross-attention K/V "
                         "(~30%% faster per token, approximate parity)")
     return p.parse_args(argv)

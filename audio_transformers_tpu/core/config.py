@@ -277,11 +277,14 @@ class DecodeConfig(_ConfigBase):
     forced_language_token: Optional[int] = None   # e.g. <|en|>
     forced_task_token: Optional[int] = None       # e.g. <|transcribe|>
     suppress_blank: bool = True
-    # "none" | "int8": quantize the precomputed cross-attention K/V to int8
-    # (per-key / per-channel scales, int8 MXU matmuls). Decode is bound by
-    # re-reading cross-K/V from HBM every step — int8 halves that traffic.
-    # Off by default: greedy token parity with fp32/bf16 decode is only
-    # approximate under quantization.
+    # "none" | "int8" | "int4": quantize the precomputed cross-attention
+    # K/V (per-key / per-channel scales). Decode is bound by re-reading
+    # cross-K/V from HBM every step — int8 halves that traffic, int4
+    # (nibble-packed, ops/decode_attention.pack_int4) quarters it at a
+    # further accuracy cost. Long decodes also quantize the self cache
+    # (int8 in both modes — see decode.generate). Off by default: greedy
+    # token parity with fp32/bf16 decode is only approximate under
+    # quantization.
     kv_quant: str = "none"
     # "auto" | "fused" | "xla": how the per-step vocab projection + logit
     # processors + token pick run. "fused" is the Pallas kernel that never

@@ -286,6 +286,12 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     # batch 128).
     self_min = int(os.environ.get("ATX_SELF_KV_MIN", "192"))
     self_quant = dcfg.kv_quant if L >= self_min else "none"
+    if self_quant == "int4":
+        # int4 covers only the (dominant, precomputed) cross K/V; the
+        # incrementally-written self cache stays int8 — its re-read is a
+        # fraction of the step and nibble-packing a one-column-per-step
+        # write would ripple into every past byte.
+        self_quant = "int8"
     cache = wm.init_cache(cfg, batch, max_len=L, dtype=enc.dtype,
                           quant=self_quant)
     cross = wm.precompute_cross_attention(params, cfg, enc,

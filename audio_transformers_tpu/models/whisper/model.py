@@ -285,15 +285,24 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
     The fused kernel folds the scales at the edges (logits row / output
     row), so neither q nor the probabilities are ever quantized.
 
+    quant="int4": the same scale structure but 4-bit values nibble-packed
+    pairwise along time (ops/decode_attention.pack_int4) — a QUARTER of
+    the bf16 bytes per step. K scales are stored split even/odd as
+    (B, H, 2, T/2) so the kernel never needs a strided lane slice; the
+    scale rank is also what routes consumers to the int4 path. Lossier
+    than int8 (~4 bits of logit mantissa) — an explicit accuracy/speed
+    trade the caller opts into.
+
     Returned as PER-LAYER LISTS (like the self cache), not a stacked
     (L, ...) array: the fused kernel's operands must be whole buffers —
     a leading-axis slice of a stacked array inside the decode loop
     forces XLA to materialize the slice as a copy EVERY step."""
     out = {"k": [], "v": []}
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         out["k_scale"], out["v_scale"] = [], []
     elif quant != "none":
         raise ValueError(f"unknown kv_quant {quant!r}")
+    qmax = 127.0 if quant == "int8" else 7.0
     for bp in params["decoder"]["blocks"]:
         k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
                            cfg.num_heads)               # (B, H, T, hd)
@@ -313,15 +322,30 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
         # scales linearly in k_scale_t, folded back after the contraction.
         k_scale = jnp.maximum(
             jnp.max(jnp.abs(k), axis=2, keepdims=True).astype(jnp.float32),
-            1e-6) / 127.0                              # (B,H,1,T)
+            1e-6) / qmax                               # (B,H,1,T)
         # V: scale per output channel (over time) — attn_d = sum_t p_t v_dt
         v_scale = jnp.maximum(
             jnp.max(jnp.abs(v), axis=3, keepdims=True).astype(jnp.float32),
-            1e-6) / 127.0                              # (B,H,hd,1)
-        out["k"].append(
-            jnp.round(k.astype(jnp.float32) / k_scale).astype(jnp.int8))
-        out["v"].append(
-            jnp.round(v.astype(jnp.float32) / v_scale).astype(jnp.int8))
+            1e-6) / qmax                               # (B,H,hd,1)
+        k_q = jnp.round(k.astype(jnp.float32) / k_scale)
+        v_q = jnp.round(v.astype(jnp.float32) / v_scale)
+        if quant == "int4":
+            from audio_transformers_tpu.ops.decode_attention import \
+                pack_int4
+            if k.shape[-1] % 2:
+                # a zero-padded phantom key would score 0 (not -inf) and
+                # leak into the softmax; whisper encoder T is always even
+                raise ValueError("kv_quant='int4' needs an even encoder "
+                                 f"length, got T={k.shape[-1]}")
+            out["k"].append(pack_int4(k_q.astype(jnp.int32)))
+            out["v"].append(pack_int4(v_q.astype(jnp.int32)))
+            ks = k_scale[:, :, 0, :]                   # (B,H,Teven)
+            out["k_scale"].append(jnp.stack(
+                [ks[..., 0::2], ks[..., 1::2]], axis=2))  # (B,H,2,T/2)
+            out["v_scale"].append(v_scale[:, :, :, 0])
+            continue
+        out["k"].append(k_q.astype(jnp.int8))
+        out["v"].append(v_q.astype(jnp.int8))
         out["k_scale"].append(k_scale[:, :, 0, :])     # (B,H,T)
         out["v_scale"].append(v_scale[:, :, :, 0])     # (B,H,hd)
     return out
@@ -347,8 +371,28 @@ def pad_cross_time(cross: dict) -> dict:
     at batch 128). Only the fused path may consume the padded dict; the
     XLA paths do not mask padded keys."""
     from audio_transformers_tpu.ops.decode_attention import (
-        pad_time_for_decode_kernel)
+        pad_time_for_decode_kernel, preferred_block_t)
 
+    int4 = "k_scale" in cross and cross["k_scale"][0].ndim == 4
+    if int4:
+        # packed minor axis holds T/2 bytes; pad it to half the (true)
+        # time-block multiple so the kernel grid divides evenly
+        t = 2 * cross["k"][0].shape[-1]
+        t_pad = -(-t // preferred_block_t(t)) * preferred_block_t(t)
+
+        def pad_half(x):
+            want = t_pad // 2
+            if x.shape[-1] == want:
+                return x
+            return jnp.pad(
+                x, ((0, 0),) * (x.ndim - 1) + ((0, want - x.shape[-1])))
+
+        out = dict(cross)
+        out["k"] = [pad_half(x) for x in cross["k"]]
+        out["v"] = [pad_half(x) for x in cross["v"]]
+        out["k_scale"] = [pad_half(x) for x in cross["k_scale"]]
+        out["t_valid"] = t
+        return out
     t = cross["k"][0].shape[-1]
     out = dict(cross)
     out["k"] = [pad_time_for_decode_kernel(x, t) for x in cross["k"]]
@@ -478,6 +522,20 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                 v_scale=cross["v_scale"][li] if cross_quant else None,
                 t_valid=cross.get("t_valid"),
                 scale=scale).astype(x.dtype)
+        elif cross_quant and cross["k_scale"][li].ndim == 4:
+            # XLA int4 fallback (off-TPU tests): dequantize via the
+            # kernel's oracle — perf is irrelevant on this path.
+            from audio_transformers_tpu.ops.decode_attention import (
+                decode_cross_attention_reference)
+            t_val = cross.get("t_valid")
+            kq, vq = cross["k"][li], cross["v"][li]
+            ksq = cross["k_scale"][li]
+            if t_val is not None:  # drop kernel-block padding
+                kq, vq = kq[..., :t_val // 2], vq[..., :t_val // 2]
+                ksq = ksq[..., :t_val // 2]
+            cattn = decode_cross_attention_reference(
+                cq, kq, vq, k_scale=ksq,
+                v_scale=cross["v_scale"][li], scale=scale).astype(x.dtype)
         elif cross_quant:
             # XLA int8 fallback: quantize q per (b, h) row, int8
             # contractions, fold the scales back in fp32.

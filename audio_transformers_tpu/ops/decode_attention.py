@@ -46,6 +46,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pack_int4(x: jax.Array) -> jax.Array:
+    """Pack an int32/int8 array of 4-bit values in [-8, 7] along the minor
+    (time) axis: byte t holds position 2t in the LOW nibble and 2t+1 in
+    the HIGH nibble. The minor axis must be even. Returns int8 of half
+    the minor length."""
+    lo = x[..., 0::2].astype(jnp.int32) & 0xF
+    hi = x[..., 1::2].astype(jnp.int32) & 0xF
+    return ((hi << 4) | lo).astype(jnp.int8)
+
+
+def unpack_int4(x: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: int8 packed bytes -> int32 values, minor axis
+    doubled (..., 2T), sign-extended from 4 bits."""
+    b = x.astype(jnp.int32) & 0xFF
+    lo = ((b & 0xF) ^ 8) - 8
+    hi = ((b >> 4) ^ 8) - 8
+    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1],
+                                                2 * x.shape[-1])
+
+
 def preferred_block_t(t: int) -> int:
     """The kernel's preferred time-block for a given key count."""
     return min(768, _round_up(t, 128))
@@ -64,15 +84,24 @@ def pad_time_for_decode_kernel(x: jax.Array, t: int) -> jax.Array:
 
 def _kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, acc_ref,
             stats_ref, *, block_t: int, t_valid: int, scale: float,
-            quant: bool, block_bh: int):
+            quant: str, block_bh: int):
     """Grid (bh/block_bh, T/block_t). Blocks:
       q   (block_bh, hd)           f32/bf16
-      k   (block_bh, hd, block_t)  storage dtype (bf16 or int8)
-      v   (block_bh, hd, block_t)
-      ks  (block_bh, 1, block_t)   f32 (int8 only; dummy otherwise)
-      vs  (block_bh, hd)           f32 (int8 only)
+      k   (block_bh, hd, block_t)  storage dtype (bf16 or int8);
+                                   int4: (block_bh, hd, block_t/2) packed
+      v   (block_bh, hd, block_t)  (int4: packed, like k)
+      ks  (block_bh, 1, block_t)   f32 (int8; dummy for "none");
+                                   int4: (block_bh, 2, block_t/2),
+                                   row 0 = even positions, row 1 = odd
+      vs  (block_bh, hd)           f32 (int8/int4 only)
       out (block_bh, hd)
     Scratch: acc (block_bh, hd) f32; stats (2, block_bh, 128) f32.
+
+    int4 never unpacks to an interleaved (bh, bt) row: the low/high
+    nibbles are treated as two independent half-blocks ("even"/"odd"
+    time positions) that each update the same online-softmax stats —
+    order within a block is irrelevant to softmax, and only the
+    t_valid mask needs the true position (base + 2*i / base + 2*i + 1).
     """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -84,25 +113,53 @@ def _kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, acc_ref,
         stats_ref[1] = jnp.zeros_like(stats_ref[1])
 
     q = q_ref[:].astype(jnp.float32)                   # (bh8, hd)
-    k = k_ref[:]                                       # (bh8, hd, bt)
-    # QK: multiply q (lane-broadcast) into K, reduce hd on sublanes.
-    s = jnp.sum(q[:, :, None] * k.astype(jnp.float32), axis=1)  # (bh8, bt)
-    if quant:
-        s = s * ks_ref[:, 0, :]
-    s = s * scale
-    t_pos = j * block_t + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(t_pos < t_valid, s, _NEG_INF)
-
     m_old = stats_ref[0][:, :1]                        # (bh8, 1)
     l_old = stats_ref[1][:, :1]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(s - m_new)                             # (bh8, bt)
-    l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    v = v_ref[:]                                       # (bh8, hd, bt)
-    # PV: p broadcast over the sublane (d) axis, reduce t on lanes.
-    pv = jnp.sum(p[:, None, :] * v.astype(jnp.float32), axis=2)  # (bh8, hd)
+    if quant == "int4":
+        kb = k_ref[:].astype(jnp.int32) & 0xFF         # (bh8, hd, bt/2)
+        k_lo = (((kb & 0xF) ^ 8) - 8).astype(jnp.float32)
+        k_hi = (((kb >> 4) ^ 8) - 8).astype(jnp.float32)
+        q3 = q[:, :, None]
+        s_e = jnp.sum(q3 * k_lo, axis=1) * ks_ref[:, 0, :] * scale
+        s_o = jnp.sum(q3 * k_hi, axis=1) * ks_ref[:, 1, :] * scale
+        it = jax.lax.broadcasted_iota(jnp.int32, s_e.shape, 1)
+        base = j * block_t
+        s_e = jnp.where(base + 2 * it < t_valid, s_e, _NEG_INF)
+        s_o = jnp.where(base + 2 * it + 1 < t_valid, s_o, _NEG_INF)
+        m_new = jnp.maximum(
+            m_old, jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
+                               jnp.max(s_o, axis=1, keepdims=True)))
+        alpha = jnp.exp(m_old - m_new)
+        p_e = jnp.exp(s_e - m_new)
+        p_o = jnp.exp(s_o - m_new)
+        l_new = (l_old * alpha + jnp.sum(p_e, axis=1, keepdims=True)
+                 + jnp.sum(p_o, axis=1, keepdims=True))
+        vb = v_ref[:].astype(jnp.int32) & 0xFF
+        v_lo = (((vb & 0xF) ^ 8) - 8).astype(jnp.float32)
+        v_hi = (((vb >> 4) ^ 8) - 8).astype(jnp.float32)
+        pv = (jnp.sum(p_e[:, None, :] * v_lo, axis=2)
+              + jnp.sum(p_o[:, None, :] * v_hi, axis=2))  # (bh8, hd)
+    else:
+        k = k_ref[:]                                   # (bh8, hd, bt)
+        # QK: multiply q (lane-broadcast) into K, reduce hd on sublanes.
+        s = jnp.sum(q[:, :, None] * k.astype(jnp.float32), axis=1)
+        if quant == "int8":
+            s = s * ks_ref[:, 0, :]
+        s = s * scale
+        t_pos = j * block_t + jax.lax.broadcasted_iota(jnp.int32, s.shape,
+                                                       1)
+        s = jnp.where(t_pos < t_valid, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)                         # (bh8, bt)
+        l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[:]                                   # (bh8, hd, bt)
+        # PV: p broadcast over the sublane (d) axis, reduce t on lanes.
+        pv = jnp.sum(p[:, None, :] * v.astype(jnp.float32), axis=2)
+
     acc_ref[:] = acc_ref[:] * alpha + pv
     stats_ref[0] = jnp.broadcast_to(m_new, stats_ref[0].shape)
     stats_ref[1] = jnp.broadcast_to(l_new, stats_ref[1].shape)
@@ -111,7 +168,7 @@ def _kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, acc_ref,
     def _():
         l = stats_ref[1][:, :1]
         o = acc_ref[:] / jnp.maximum(l, 1e-30)
-        if quant:
+        if quant != "none":
             o = o * vs_ref[:]                          # per-channel scales
         out_ref[:] = o.astype(out_ref.dtype)
 
@@ -128,7 +185,10 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     q (B, H, hd); k AND v (B, H, hd, T) — the production time-minor
     layout. For int8 k/v pass k_scale (B, H, T) and v_scale (B, H, hd)
-    (both f32). Returns (B, H, hd) in q's dtype.
+    (both f32). For int4, k/v are nibble-packed along time (B, H, hd,
+    T/2) int8 (pack_int4) with k_scale split even/odd as (B, H, 2, T/2)
+    — the scale rank is what selects the int4 path. Returns (B, H, hd)
+    in q's dtype.
 
     `t_valid`: when the caller has ALREADY padded the time axis to a
     block_t multiple (pad_time_for_decode_kernel), pass the true key
@@ -145,14 +205,23 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, hd = q.shape
-    t = k.shape[3]
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
-    quant = k_scale is not None
+    # int4 is structurally inferred: its per-position K scales are split
+    # even/odd as (B, H, 2, T/2), vs (B, H, T) for int8.
+    if k_scale is None:
+        quant = "none"
+    elif k_scale.ndim == 4:
+        quant = "int4"
+    else:
+        quant = "int8"
+    int4 = quant == "int4"
+    t = 2 * k.shape[3] if int4 else k.shape[3]  # true key count capacity
     bh = b * h
     if block_t is None:
         block_t = preferred_block_t(t_valid or t)
     if block_bh is None:
-        block_bh = max(64 // k.dtype.itemsize // max(block_t // 768, 1), 8)
+        eff_itemsize = k.dtype.itemsize / 2 if int4 else k.dtype.itemsize
+        block_bh = max(int(64 // eff_itemsize) // max(block_t // 768, 1), 8)
     block_bh = min(block_bh, _round_up(bh, 8))
     bh_pad = _round_up(bh, block_bh)
     t_pad = _round_up(t, block_t)
@@ -166,22 +235,36 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         return x if x.shape[0] == bh_pad else jnp.pad(
             x, ((0, bh_pad - bh),) + ((0, 0),) * (x.ndim - 1))
 
+    def pad_t(x, tp):
+        return x if x.shape[-1] == tp else jnp.pad(
+            x, ((0, 0),) * (x.ndim - 1) + ((0, tp - x.shape[-1]),))
+
+    t_store = t_pad // 2 if int4 else t_pad   # minor-axis length in storage
     qf = pad_bh(q.reshape(bh, hd))
-    kf = pad_bh(k.reshape(bh, hd, t))
-    vf = pad_bh(v.reshape(bh, hd, t))
-    if t_pad != t:
-        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, t_pad - t)))
-        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, t_pad - t)))
-    if quant:
-        ksf = pad_bh(k_scale.reshape(bh, 1, t).astype(jnp.float32))
-        if t_pad != t:
-            ksf = jnp.pad(ksf, ((0, 0), (0, 0), (0, t_pad - t)))
+    kf = pad_t(pad_bh(k.reshape(bh, hd, k.shape[3])), t_store)
+    vf = pad_t(pad_bh(v.reshape(bh, hd, v.shape[3])), t_store)
+    if int4:
+        ksf = pad_t(pad_bh(k_scale.reshape(bh, 2, k_scale.shape[3])
+                           .astype(jnp.float32)), t_store)
         vsf = pad_bh(v_scale.reshape(bh, hd).astype(jnp.float32))
+        ks_spec = pl.BlockSpec((block_bh, 2, block_t // 2),
+                               lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM)
+    elif quant == "int8":
+        ksf = pad_t(pad_bh(k_scale.reshape(bh, 1, k_scale.shape[2])
+                           .astype(jnp.float32)), t_store)
+        vsf = pad_bh(v_scale.reshape(bh, hd).astype(jnp.float32))
+        ks_spec = pl.BlockSpec((block_bh, 1, block_t),
+                               lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM)
     else:
         # dummy operands keep the call signature static
         ksf = jnp.ones((bh_pad, 1, 128), jnp.float32)
         vsf = jnp.ones((bh_pad, hd), jnp.float32)
+        ks_spec = pl.BlockSpec((block_bh, 1, 128), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
 
+    kv_block = block_t // 2 if int4 else block_t
     kernel = functools.partial(_kernel, block_t=block_t, t_valid=t_valid,
                                scale=scale, quant=quant, block_bh=block_bh)
     out = pl.pallas_call(
@@ -190,15 +273,11 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         in_specs=[
             pl.BlockSpec((block_bh, hd), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_bh, hd, block_t), lambda i, j: (i, 0, j),
+            pl.BlockSpec((block_bh, hd, kv_block), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_bh, hd, block_t), lambda i, j: (i, 0, j),
+            pl.BlockSpec((block_bh, hd, kv_block), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_bh, 1, block_t), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-            if quant else
-            pl.BlockSpec((block_bh, 1, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ks_spec,
             pl.BlockSpec((block_bh, hd), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -221,9 +300,16 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 def decode_cross_attention_reference(q, k, v, *, k_scale=None, v_scale=None,
                                      scale=None) -> jax.Array:
-    """XLA oracle with identical semantics (k and v (B,H,hd,T))."""
+    """XLA oracle with identical semantics (k and v (B,H,hd,T); int4
+    operands in the packed layout decode_cross_attention expects)."""
     hd = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
+    if k_scale is not None and k_scale.ndim == 4:      # int4 packed
+        k = unpack_int4(k)
+        v = unpack_int4(v)
+        # (B, H, 2, T/2) even/odd scales -> interleaved (B, H, T)
+        k_scale = k_scale.transpose(0, 1, 3, 2).reshape(
+            *k_scale.shape[:2], -1)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if k_scale is not None:

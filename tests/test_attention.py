@@ -138,7 +138,54 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
-    @pytest.mark.parametrize("quant", ["none", "int8"])
+    def test_int4_pack_unpack_roundtrip(self):
+        from audio_transformers_tpu.ops.decode_attention import (pack_int4,
+                                                                 unpack_int4)
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(-8, 8, (2, 3, 64, 10)).astype(np.int32)
+        rt = np.asarray(unpack_int4(pack_int4(jnp.asarray(x))))
+        np.testing.assert_array_equal(rt, x)
+
+    @pytest.mark.parametrize("t,t_pad", [(300, None), (300, "blocks")])
+    def test_int4_matches_oracle(self, t, t_pad):
+        """Nibble-packed K/V with even/odd-split scales: the kernel's
+        two-half-block online softmax must equal the dequantizing XLA
+        oracle, with and without kernel-block time padding (t_valid)."""
+        from audio_transformers_tpu.ops.decode_attention import (
+            decode_cross_attention, decode_cross_attention_reference,
+            pack_int4, preferred_block_t)
+
+        b, h, hd = 2, 3, 64
+        rng = np.random.default_rng(17)
+        q = jnp.asarray(rng.standard_normal((b, h, hd)).astype(np.float32))
+        k4 = pack_int4(jnp.asarray(
+            rng.integers(-8, 8, (b, h, hd, t)).astype(np.int32)))
+        v4 = pack_int4(jnp.asarray(
+            rng.integers(-8, 8, (b, h, hd, t)).astype(np.int32)))
+        ks = jnp.asarray(rng.uniform(0.05, 0.2, (b, h, 2, t // 2))
+                         .astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.05, 0.2, (b, h, hd))
+                         .astype(np.float32))
+        want = decode_cross_attention_reference(q, k4, v4, k_scale=ks,
+                                                v_scale=vs)
+        kw = {}
+        if t_pad == "blocks":
+            bt = preferred_block_t(t)
+            half = (-(-t // bt) * bt) // 2
+
+            def padh(x):
+                return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                               + ((0, half - x.shape[-1]),))
+
+            k4, v4, ks = padh(k4), padh(v4), padh(ks)
+            kw["t_valid"] = t
+        got = decode_cross_attention(q, k4, v4, k_scale=ks, v_scale=vs,
+                                     **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("quant", ["none", "int8", "int4"])
     def test_decoder_step_fused_matches_xla(self, quant):
         from audio_transformers_tpu.core.config import WhisperConfig
         from audio_transformers_tpu.models import whisper as wm
@@ -160,7 +207,9 @@ class TestDecodeAttention:
                                       attn_impl="fused")
         # int8: the fused kernel never quantizes q or the probabilities,
         # so it is CLOSER to exact than the XLA int8 path — compare both
-        # against each other loosely there, tightly for bf16/f32
-        tol = dict(rtol=2e-4, atol=2e-5) if quant == "none" \
-            else dict(rtol=0.05, atol=0.02)
+        # against each other loosely there, tightly for bf16/f32. int4's
+        # XLA fallback dequantizes through the kernel's own oracle, so it
+        # compares tightly too.
+        tol = dict(rtol=0.05, atol=0.02) if quant == "int8" \
+            else dict(rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), **tol)

@@ -367,6 +367,33 @@ class TestInt8CrossKV:
         with pytest.raises(ValueError):
             wm.init_cache(cfg, 2, max_len=8, quant="fp4")
 
+    def test_int4_generate_close_to_exact(self, hf_pair):
+        """kv_quant="int4" (nibble-packed cross K/V, quarter traffic):
+        greedy decodes stay near-identical to exact on the toy model, and
+        the self cache falls back to int8 (packing an incremental write
+        would ripple past bytes)."""
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=21)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        base = DecodeConfig(max_new_tokens=10)
+        out = wdecode.generate(params, cfg, base, enc,
+                               prompt=(cfg.decoder_start_token_id,),
+                               begin_suppress_ids=())
+        out_q = wdecode.generate(params, cfg,
+                                 base.replace(kv_quant="int4"), enc,
+                                 prompt=(cfg.decoder_start_token_id,),
+                                 begin_suppress_ids=())
+        t, tq = np.asarray(out["tokens"]), np.asarray(out_q["tokens"])
+        agree = (t == tq).mean()
+        assert agree >= 0.7, (agree, t, tq)
+
+    def test_int4_rejects_odd_encoder_length(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(1, 2 * cfg.max_source_positions, cfg.n_mels)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))[:, :49]  # odd T
+        with pytest.raises(ValueError, match="even encoder length"):
+            wm.precompute_cross_attention(params, cfg, enc, quant="int4")
+
     def test_int8_self_kv_steps_close_to_exact(self, hf_pair):
         """kv_quant also covers the incrementally-written self-attention
         cache (per-time-step scales): multi-step hidden states must stay
