@@ -9,10 +9,11 @@ Prints ONE JSON line. Required fields:
   {"metric": "whisper_tiny_rtfx_30s", "value": <x realtime per chip>,
    "unit": "x_realtime", "vs_baseline": value / 20.0}
 plus measured extras: mfu (pipeline FLOPs from XLA cost analysis over the
-v5e bf16 peak), pipeline_ms, rtfx_int8_kv (same pipeline with int8
-cross-KV decode, DecodeConfig.kv_quant), decode_ms_per_step_b128 (+ int8
-variant), train_step_ms_b16/b64 + train_mfu, classifier step, and the
-host loader at 1 and 8 threads (loader_clips_per_sec_1t/_8t).
+v5e bf16 peak), pipeline_ms, rtfx_int8_kv / rtfx_int4_kv (same pipeline
+with quantized cross-KV decode, DecodeConfig.kv_quant),
+decode_ms_per_step_b128 (+ int8/int4 variants), train_step_ms_b16/b64 +
+train_mfu, classifier step, and the host loader at 1 and 8 threads
+(loader_clips_per_sec_1t/_8t).
 
 Baseline: the reference publishes no throughput number (BASELINE.md); the
 driver's north star is >= 20x realtime per chip, so vs_baseline is the
@@ -149,6 +150,8 @@ def main():
     if on_tpu:
         dt_q = chained_pipeline_s("int8")
         result["rtfx_int8_kv"] = round(audio_secs / dt_q, 2)
+        dt_q4 = chained_pipeline_s("int4")
+        result["rtfx_int4_kv"] = round(audio_secs / dt_q4, 2)
 
     # FLOP count for MFU from XLA's own cost model (counts the decode loop
     # body once per trip via the while-loop trip-count bound).
@@ -188,6 +191,8 @@ def main():
     if on_tpu:
         result["decode_ms_per_step_b128_int8kv"] = round(
             decode_ms_per_step("int8"), 3)
+        result["decode_ms_per_step_b128_int4kv"] = round(
+            decode_ms_per_step("int4"), 3)
 
     # --- train step (dual-loss fine-tune, flash attention) --------------
     # b16 is the reference protocol scale; b64 answers "is training
