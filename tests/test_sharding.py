@@ -77,6 +77,39 @@ def test_decode_under_data_parallel_sharding():
     np.testing.assert_array_equal(got, want)
 
 
+def test_decode_under_tensor_parallel_sharding():
+    """KV-cached greedy decode with the PARAMS tensor-parallel over the
+    model axis (and the batch over data) equals the replicated decode
+    token-for-token — the serving layout end-to-end, including the fused
+    step-param preparation (qkv concat) and the cross-KV precompute."""
+    mesh = build_mesh((("data", 4), ("model", 2)))
+    w = TINY.whisper
+    full = emo.init(jax.random.PRNGKey(2), TINY)
+    axes = emo.param_axes(full)
+    params = full["whisper"]
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal(
+        (4, 2 * w.max_source_positions, w.n_mels)).astype(np.float32))
+    dcfg = DecodeConfig(max_new_tokens=10, no_repeat_ngram_size=3,
+                        repetition_penalty=1.15)
+    prompt = (w.decoder_start_token_id,)
+
+    enc = wm.encode(params, w, mel)
+    want = np.asarray(wdecode.generate(params, w, dcfg, enc, prompt=prompt,
+                                       begin_suppress_ids=())["tokens"])
+
+    with mesh:
+        p_tp = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, axes["whisper"])
+        enc_s = jax.device_put(
+            enc, NamedSharding(mesh, P("data", None, None)))
+        got = np.asarray(wdecode.generate(p_tp, w, dcfg, enc_s,
+                                          prompt=prompt,
+                                          begin_suppress_ids=())["tokens"])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_bf16_train_step_runs():
     """bf16 compute through grad (the conv-VJP dtype bug class only
     appears under jax.grad with mixed precision)."""
