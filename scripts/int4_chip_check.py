@@ -1,0 +1,192 @@
+"""Round-3 chip validation batch: int4 cross-KV + ngram crossover.
+
+Run after any tunnel outage clears. Four stages, cheapest first, so a
+mid-run stall still leaves usable results:
+  1. Mosaic compile + parity of the int4 decode_cross_attention branch
+     (vs the dequantizing XLA oracle) at the production geometry.
+  2. int4 block_bh sweep (64 vs 128) standalone, scan-differenced.
+  3. Full-decode step A/B: int8 vs int4 (+ bf16 anchor), bench method.
+  4. ngram short-L scatter vs top-K compaction (both logits impls).
+
+Usage: python scripts/int4_chip_check.py [--stage N] (default: all)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=0, help="0 = all")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.core.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    EmotionWhisperConfig,
+                                                    MelConfig)
+    from audio_transformers_tpu.models import whisper as wm
+    from audio_transformers_tpu.models.whisper import decode as wdecode
+    from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.ops import decode_attention as da
+    from audio_transformers_tpu.ops.mel import log_mel
+
+    cfg = EmotionWhisperConfig()
+    w = cfg.whisper
+    B, H, hd, T = 128, 6, 64, 1500
+    rng = np.random.default_rng(0)
+
+    q = jnp.asarray(rng.standard_normal((B, H, hd)), jnp.bfloat16)
+    k4 = da.pack_int4(jnp.asarray(
+        rng.integers(-8, 8, (B, H, hd, T)).astype(np.int32)))
+    v4 = da.pack_int4(jnp.asarray(
+        rng.integers(-8, 8, (B, H, hd, T)).astype(np.int32)))
+    ks = jnp.asarray(rng.uniform(0.05, 0.2, (B, H, 2, T // 2)),
+                     jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.05, 0.2, (B, H, hd)), jnp.float32)
+
+    if args.stage in (0, 1):
+        print("== stage 1: int4 kernel Mosaic compile + parity", flush=True)
+        got = np.asarray(jax.jit(lambda *a: da.decode_cross_attention(
+            *a[:3], k_scale=a[3], v_scale=a[4], interpret=False))(
+                q, k4, v4, ks, vs)).astype(np.float32)
+        want = np.asarray(jax.jit(lambda *a: da.decode_cross_attention_reference(
+            *a[:3], k_scale=a[3], v_scale=a[4]))(q, k4, v4, ks, vs)
+        ).astype(np.float32)
+        err = np.abs(got - want).max()
+        print(f"   parity max|d| = {err:.5f} (bf16 out; tol ~2e-2)",
+              "OK" if err < 2e-2 else "FAIL", flush=True)
+
+    if args.stage in (0, 2):
+        print("== stage 2: int4 block_bh sweep", flush=True)
+
+        def make(bh_blk, n):
+            @jax.jit
+            def g(q, k4, v4, ks, vs):
+                def body(c, _):
+                    qq = q + c.astype(q.dtype) * 1e-30
+                    o = da.decode_cross_attention(
+                        qq, k4, v4, k_scale=ks, v_scale=vs,
+                        block_bh=bh_blk, interpret=False)
+                    return o[0, 0, :1].astype(jnp.float32), None
+                c, _ = jax.lax.scan(body, jnp.zeros((1,), jnp.float32),
+                                    None, length=n)
+                return c[0]
+            return g
+
+        LO, HI = 4, 24
+        for bh_blk in (32, 64, 128):
+            lo, hi = make(bh_blk, LO), make(bh_blk, HI)
+            try:
+                float(lo(q, k4, v4, ks, vs))
+                float(hi(q, k4, v4, ks, vs))
+            except Exception as e:
+                print(f"   block_bh={bh_blk}: compile FAIL "
+                      f"{type(e).__name__}", flush=True)
+                continue
+            tl = th = 1e9
+            for _ in range(5):
+                t0 = time.perf_counter(); float(lo(q, k4, v4, ks, vs))
+                tl = min(tl, time.perf_counter() - t0)
+                t0 = time.perf_counter(); float(hi(q, k4, v4, ks, vs))
+                th = min(th, time.perf_counter() - t0)
+            per = (th - tl) / (HI - LO) * 1e3
+            print(f"   block_bh={bh_blk}: {per:.3f} ms per 1-layer pass"
+                  f" (x4 layers = {4 * per:.3f})", flush=True)
+
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    mel_cfg = MelConfig.whisper()
+    waveform = jnp.asarray(
+        (rng.standard_normal((B, mel_cfg.sample_rate * 30)) * 0.1)
+        .astype(np.float32))
+    mel = jax.jit(lambda wv: log_mel(wv, mel_cfg).astype(jnp.bfloat16))(
+        waveform)
+    enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
+
+    def timed_decode(dcfg, n_tokens, reps=4):
+        d2 = dcfg.replace(max_new_tokens=n_tokens)
+        prompt = wdecode.build_prompt(w, d2)
+        o = wdecode.generate(params["whisper"], w, d2, enc, prompt=prompt)
+        int(np.asarray(o["lengths"][0]))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = wdecode.generate(params["whisper"], w, d2, enc,
+                                 prompt=prompt)
+            int(np.asarray(o["lengths"][0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if args.stage in (0, 3):
+        print("== stage 3: full-decode step, int8 vs int4", flush=True)
+        base = dict(no_repeat_ngram_size=3, repetition_penalty=1.15)
+        res = {}
+        cfgs = {kv: DecodeConfig(kv_quant=kv, **base)
+                for kv in ("int8", "int4", "none")}
+        for kv, d in cfgs.items():
+            for n in (16, 64):
+                timed_decode(d, n, reps=1)
+            print(f"   compiled {kv}", flush=True)
+        for _ in range(3):
+            for kv, d in cfgs.items():
+                v = (timed_decode(d, 64) - timed_decode(d, 16)) / 48 * 1e3
+                res[kv] = min(res.get(kv, 1e9), v)
+        for kv, v in res.items():
+            print(f"   {kv:5s} {v:.3f} ms/step", flush=True)
+
+    if args.stage in (0, 4):
+        print("== stage 4: ngram scatter vs top-K compaction (short L)",
+              flush=True)
+        variants = [
+            ("xla_scatter",   "xla",   128, (16, 64)),
+            ("xla_compact",   "xla",   0,   (17, 65)),
+            ("fused_compact", "fused", 0,   (19, 67)),
+        ]
+
+        def timed_v(impl, crossover, n_tokens, reps=4):
+            wdecode.NGRAM_SCATTER_MAX_LEN = crossover
+            d2 = DecodeConfig(max_new_tokens=n_tokens, kv_quant="int8",
+                              logits_impl=impl, no_repeat_ngram_size=3,
+                              repetition_penalty=1.15)
+            prompt = wdecode.build_prompt(w, d2)
+            o = wdecode.generate(params["whisper"], w, d2, enc,
+                                 prompt=prompt)
+            int(np.asarray(o["lengths"][0]))
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                o = wdecode.generate(params["whisper"], w, d2, enc,
+                                     prompt=prompt)
+                int(np.asarray(o["lengths"][0]))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        for name, impl, co, (lo, hi) in variants:
+            timed_v(impl, co, lo, reps=1)
+            timed_v(impl, co, hi, reps=1)
+            print(f"   compiled {name}", flush=True)
+        res = {}
+        for _ in range(3):
+            for name, impl, co, (lo, hi) in variants:
+                v = (timed_v(impl, co, hi)
+                     - timed_v(impl, co, lo)) / (hi - lo) * 1e3
+                res[name] = min(res.get(name, 1e9), v)
+        for kvs, v in res.items():
+            print(f"   {kvs:14s} {v:.3f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()
