@@ -147,11 +147,21 @@ def main():
         "pipeline_ms": round(dt * 1e3, 2),
         "batch": batch,
     }
+    def extra(key, fn):
+        """Record a non-headline metric; a failure (e.g. a congested
+        compile timing out upstream, or a kernel variant failing on a
+        new libtpu) must not take the headline JSON line down with it."""
+        try:
+            result[key] = fn()
+        except Exception as e:  # pragma: no cover - depends on env
+            result.setdefault("errors", []).append(
+                f"{key}: {type(e).__name__}")
+
     if on_tpu:
-        dt_q = chained_pipeline_s("int8")
-        result["rtfx_int8_kv"] = round(audio_secs / dt_q, 2)
-        dt_q4 = chained_pipeline_s("int4")
-        result["rtfx_int4_kv"] = round(audio_secs / dt_q4, 2)
+        extra("rtfx_int8_kv",
+              lambda: round(audio_secs / chained_pipeline_s("int8"), 2))
+        extra("rtfx_int4_kv",
+              lambda: round(audio_secs / chained_pipeline_s("int4"), 2))
 
     # FLOP count for MFU from XLA's own cost model (counts the decode loop
     # body once per trip via the while-loop trip-count bound).
@@ -187,12 +197,39 @@ def main():
 
         return (timed(64) - timed(16)) / 48 * 1e3
 
-    result["decode_ms_per_step_b128"] = round(decode_ms_per_step("none"), 3)
+    extra("decode_ms_per_step_b128",
+          lambda: round(decode_ms_per_step("none"), 3))
     if on_tpu:
-        result["decode_ms_per_step_b128_int8kv"] = round(
-            decode_ms_per_step("int8"), 3)
-        result["decode_ms_per_step_b128_int4kv"] = round(
-            decode_ms_per_step("int4"), 3)
+        extra("decode_ms_per_step_b128_int8kv",
+              lambda: round(decode_ms_per_step("int8"), 3))
+        extra("decode_ms_per_step_b128_int4kv",
+              lambda: round(decode_ms_per_step("int4"), 3))
+
+    # --- interactive serving latency (batch 1, the reference demo's
+    # shape): full pipeline for ONE 30 s clip, chained+differenced like
+    # the throughput number so the reported time is pure device time ----
+    def serve_latency_b1_ms() -> float:
+        wf1 = waveform[:1]
+        dcfg1 = DecodeConfig(max_new_tokens=64, no_repeat_ngram_size=3,
+                             repetition_penalty=1.15, kv_quant="int8")
+        prompt1 = wdecode.build_prompt(w, dcfg1)
+        ts1 = {}
+        for n in (lo, hi):
+            @jax.jit
+            def fn1(params, wv, n=n):
+                def body(c, _):
+                    _, lengths, _ = pipeline(params, wv + c * 1e-30,
+                                             dcfg1, prompt1)
+                    return jnp.sum(lengths).astype(jnp.float32) * 1e-30, \
+                        None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return c.reshape(1)
+            _sync_scalar(fn1(params, wf1))
+            ts1[n] = _min_time(lambda fn1=fn1: fn1(params, wf1), reps)
+        return round((ts1[hi] - ts1[lo]) / (hi - lo) * 1e3, 2)
+
+    if on_tpu:
+        extra("serve_latency_b1_ms", serve_latency_b1_ms)
 
     # --- train step (dual-loss fine-tune, flash attention) --------------
     # b16 is the reference protocol scale; b64 answers "is training
