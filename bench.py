@@ -177,6 +177,12 @@ def main():
             if flops_per_batch and on_tpu:
                 result["mfu"] = round(flops_per_batch / dt / V5E_PEAK_BF16,
                                       4)
+                # same useful math, int8 cross/self-KV time base — the
+                # serving configuration's utilization
+                if "rtfx_int8_kv" in result:
+                    dt_q8 = audio_secs / result["rtfx_int8_kv"]
+                    result["mfu_int8"] = round(
+                        flops_per_batch / dt_q8 / V5E_PEAK_BF16, 4)
     except Exception:
         pass
 
