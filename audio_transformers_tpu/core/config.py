@@ -271,7 +271,11 @@ class DecodeConfig(_ConfigBase):
     temperature: float = 0.0          # 0 => greedy
     no_repeat_ngram_size: int = 0
     repetition_penalty: float = 1.0
-    length_penalty: float = 1.0       # used by beam scoring only
+    # Accepted for reference-API compatibility: the reference passes
+    # length_penalty=-0.5 to greedy generate (evaluate_simple.py:132),
+    # where HF ignores it (it only affects beam scoring, and no surface
+    # here or there decodes with beams) — a documented no-op, like there.
+    length_penalty: float = 1.0
     return_timestamps: bool = False
     compression_ratio_threshold: Optional[float] = None
     forced_language_token: Optional[int] = None   # e.g. <|en|>
