@@ -91,6 +91,8 @@ def resolve_logits_impl(dcfg: DecodeConfig) -> str:
     kernel's HBM re-stream (noproc 0.986 vs 1.024; penalty+ngram 1.124
     vs 1.158 — the int8 ban-mask build/read outweighs the fused pass)."""
     impl = dcfg.logits_impl
+    if impl not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown logits_impl {impl!r}")
     if impl == "auto":
         pen_only = (dcfg.repetition_penalty != 1.0
                     and not dcfg.no_repeat_ngram_size)
@@ -128,30 +130,49 @@ def _ngram_window_flags(tokens, pos, n, finished=None):
     return flag, cont, starts
 
 
+def _ngram_ban_targets(tokens, pos, n, oob, finished=None):
+    """Banned-continuation scatter indices for the no-repeat-ngram rule —
+    the ONE place the short/long compaction strategy lives (both the XLA
+    logits scatter and the fused kernel's int8 ban mask consume it, and
+    their token parity depends on using identical window selection).
+
+    Returns (idx, overflow, (flag, cont)):
+      short buffers (<= NGRAM_SCATTER_MAX_LEN): idx (B, W) with
+        non-banned slots redirected to `oob` (dropped by FILL_OR_DROP);
+        overflow is None — scatter idx unconditionally.
+      long buffers: idx (B, K=16) compacted to the top-K flagged windows
+        (a step typically flags only a handful); overflow is the scalar
+        bool "any row flags > K" — cond-fall back to a dense mask built
+        from (flag, cont) so nothing is ever silently dropped."""
+    flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
+    if tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN:
+        return jnp.where(flag, cont, oob), None, (flag, cont)
+    K = 16
+    w_idx = jax.lax.top_k(jnp.where(flag, starts[None, :], -1), K)[0]
+    cont_k = jnp.take_along_axis(cont, jnp.maximum(w_idx, 0), axis=1)
+    idx = jnp.where(w_idx >= 0, cont_k, oob)          # OOB -> dropped
+    return idx, jnp.any(jnp.sum(flag, axis=1) > K), (flag, cont)
+
+
 def _fused_ban_mask(tokens, pos, n, v_pad, finished):
     """(B, v_pad) int8 no-repeat-ngram ban mask for the fused greedy
-    kernel — same window matching and short/long scatter strategy as the
-    XLA path in `_process_logits`, but targeting an int8 mask instead of
-    the (never materialized) logits."""
+    kernel — same compaction as the XLA path (_ngram_ban_targets), but
+    targeting an int8 mask instead of the (never materialized) logits."""
     b = tokens.shape[0]
     b_idx = jnp.arange(b)[:, None]
-    flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
+    idx, overflow, (flag, cont) = _ngram_ban_targets(tokens, pos, n,
+                                                     v_pad, finished)
     zeros = jnp.zeros((b, v_pad), jnp.int8)
-    if tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN:
-        idx = jnp.where(flag, cont, v_pad)            # OOB -> dropped
+    if overflow is None:
         return zeros.at[b_idx, idx].set(1)
-    K = 16
 
     def sparse(_):
-        w_idx = jax.lax.top_k(jnp.where(flag, starts[None, :], -1), K)[0]
-        cont_k = jnp.take_along_axis(cont, jnp.maximum(w_idx, 0), axis=1)
-        idx = jnp.where(w_idx >= 0, cont_k, v_pad)    # OOB -> dropped
         return zeros.at[b_idx, idx].set(1)
 
     def dense(_):
         return zeros.at[b_idx, cont].max(flag.astype(jnp.int8))
 
-    return jax.lax.cond(jnp.any(jnp.sum(flag, axis=1) > K), dense, sparse, 0)
+    return jax.lax.cond(overflow, dense, sparse, 0)
 
 
 def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
@@ -182,7 +203,6 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     vocab = logits.shape[-1]
     b = logits.shape[0]
     b_idx = jnp.arange(b)[:, None]
-    use_scatter = tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN
     static_mask = None  # (V,) bool, position-independent
     if len(suppress_ids):
         static_mask = jnp.zeros((vocab,), bool).at[
@@ -206,27 +226,15 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
-        flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
-        if use_scatter:
-            idx = jnp.where(flag, cont, vocab)        # OOB -> dropped
+        idx, overflow, (flag, cont) = _ngram_ban_targets(
+            tokens, pos, n, vocab, finished)
+        if overflow is None:
             logits = logits.at[b_idx, idx].set(lp.NEG_INF)
         else:
-            # A step typically flags only a handful of windows (the ones
-            # whose (n-1)-gram equals the current suffix), so compact the
-            # scatter to the top-K flagged window positions — B*K updates
-            # instead of B*W (the dense B*W bool scatter measured
-            # 0.29 ms/step at L=268/B=128). Exactness is preserved by a
-            # cond-fallback to the dense mask whenever ANY row flags more
-            # than K windows (degenerate loops near the very end of a
-            # long buffer), so nothing is ever silently dropped.
-            K = 16
-
+            # long buffers: B*K compacted scatter (vs B*W — the dense
+            # bool scatter measured 0.29 ms/step at L=268/B=128), exact
+            # dense cond-fallback on top-K overflow
             def sparse(lg):
-                w_idx = jax.lax.top_k(
-                    jnp.where(flag, starts[None, :], -1), K)[0]  # (B, K)
-                cont_k = jnp.take_along_axis(
-                    cont, jnp.maximum(w_idx, 0), axis=1)
-                idx = jnp.where(w_idx >= 0, cont_k, vocab)  # OOB -> drop
                 return lg.at[b_idx, idx].set(lp.NEG_INF)
 
             def dense(lg):
@@ -234,8 +242,7 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     b_idx, cont].max(flag)
                 return jnp.where(banned, lp.NEG_INF, lg)
 
-            logits = jax.lax.cond(
-                jnp.any(jnp.sum(flag, axis=1) > K), dense, sparse, logits)
+            logits = jax.lax.cond(overflow, dense, sparse, logits)
     if dcfg.return_timestamps:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,

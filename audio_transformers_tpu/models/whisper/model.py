@@ -376,9 +376,14 @@ def pad_cross_time(cross: dict) -> dict:
     int4 = "k_scale" in cross and cross["k_scale"][0].ndim == 4
     if int4:
         # packed minor axis holds T/2 bytes; pad it to half the (true)
-        # time-block multiple so the kernel grid divides evenly
+        # time-block multiple so the kernel grid divides evenly. The
+        # int4 time block is rounded to a 256 multiple (its packed lane
+        # extent is block/2 and Mosaic needs 128 alignment) — mirror of
+        # decode_cross_attention's adjustment.
         t = 2 * cross["k"][0].shape[-1]
-        t_pad = -(-t // preferred_block_t(t)) * preferred_block_t(t)
+        blk = preferred_block_t(t)
+        blk += (-blk) % 256
+        t_pad = -(-t // blk) * blk
 
         def pad_half(x):
             want = t_pad // 2

@@ -219,6 +219,11 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     bh = b * h
     if block_t is None:
         block_t = preferred_block_t(t_valid or t)
+    if int4 and block_t % 256:
+        # the packed K/V block's lane extent is block_t//2 and Mosaic
+        # needs it 128-aligned, so the (true) time block must be a
+        # multiple of 256
+        block_t = _round_up(block_t, 256)
     if block_bh is None:
         eff_itemsize = k.dtype.itemsize / 2 if int4 else k.dtype.itemsize
         block_bh = max(int(64 // eff_itemsize) // max(block_t // 768, 1), 8)

@@ -54,12 +54,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+# the fused/XLA token-parity proof depends on using the SAME sentinel as
+# the XLA processor chain — import, don't redefine
+from audio_transformers_tpu.ops.decode_attention import _round_up
+from audio_transformers_tpu.ops.logit_processors import NEG_INF
+
 _INT_MAX = jnp.iinfo(jnp.int32).max
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def pad_vocab(v: int, block_v: int = 1024) -> int:

@@ -127,7 +127,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--segment_duration", type=float, default=5.0)
     p.add_argument("--kv_quant", default="none", choices=["none", "int8", "int4"],
-                   help="int8-quantize the decode cross-attention K/V")
+                   help="quantize the decode K/V caches (int8 halves the "
+                        "per-step HBM read, int4 quarters it; approximate "
+                        "parity)")
     args = p.parse_args(argv)
     from audio_transformers_tpu.core.profiling import enable_compilation_cache
     enable_compilation_cache()

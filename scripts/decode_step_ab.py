@@ -155,14 +155,16 @@ def main(argv=None):
     lo_n, hi_n = (4, 20) if on_tpu else (2, 4)
     f_lo, f_hi = make(lo_n), make(hi_n)
     float(f_lo(x0, table)); float(f_hi(x0, table))
-    ts = []
+    # min each chain length separately, then difference the mins — a
+    # min over per-round differences goes negative under tunnel jitter
+    t_lo = t_hi = 1e9
     for _ in range(max(args.rounds, 3)):
         t0 = time.perf_counter(); float(f_lo(x0, table))
-        t_lo = time.perf_counter() - t0
+        t_lo = min(t_lo, time.perf_counter() - t0)
         t0 = time.perf_counter(); float(f_hi(x0, table))
-        t_hi = time.perf_counter() - t0
-        ts.append((t_hi - t_lo) / (hi_n - lo_n) * 1e3)
-    print(f"logits+argmax standalone:         {min(ts):.3f} ms/step")
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    print(f"logits+argmax standalone:         "
+          f"{(t_hi - t_lo) / (hi_n - lo_n) * 1e3:.3f} ms/step")
 
 
 if __name__ == "__main__":

@@ -172,6 +172,7 @@ class TestDecodeAttention:
         kw = {}
         if t_pad == "blocks":
             bt = preferred_block_t(t)
+            bt += (-bt) % 256  # int4 packed lane extent needs bt/2 % 128
             half = (-(-t // bt) * bt) // 2
 
             def padh(x):
