@@ -61,9 +61,39 @@ def _min_time(call, reps: int) -> float:
     return best
 
 
+def _wait_for_backend(budget_s: float = 900.0) -> None:
+    """The axon tunnel goes down for stretches (backend init raises
+    UNAVAILABLE); retry for a while before giving up so a transient
+    outage at bench time doesn't lose the round's artifact. Probes in a
+    SUBPROCESS: jax caches a failed backend init for the process
+    lifetime, so the first in-process attempt must not happen until a
+    probe has succeeded."""
+    import subprocess
+    import sys
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=180,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:  # init can hang, not just raise
+            ok = False
+        if ok:
+            return
+        if time.time() >= deadline:
+            return  # let the real init raise the actual error
+        print(f"# backend unavailable, retrying "
+              f"({int(deadline - time.time())}s left)", flush=True)
+        time.sleep(30)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_backend()
 
     from audio_transformers_tpu.core.profiling import (
         enable_compilation_cache)
