@@ -191,73 +191,99 @@ class EmotionWhisperPipeline:
         return self.tokenizer.decode(ids, skip_special=True).strip()
 
     # ------------------------------------------------------------------
-    def transcribe(self, waveform: np.ndarray, sr: int, *,
-                   max_new_tokens: int = 128) -> str:
-        """Full-clip transcription (reference inference.py:152-171:
-        greedy, repetition_penalty 1.15)."""
-        wav = self._prep(waveform, sr)
-        window = np.zeros((1, self._window), np.float32)
-        n = min(len(wav), self._window)
-        window[0, :n] = wav[:n]
+    def analyze_windows(self, windows: np.ndarray, *,
+                        max_new_tokens: int = 64,
+                        max_batch: int = 16):
+        """The device half of `analyze`/`transcribe`, shared with the
+        serving micro-batcher (serve/batching.py): decode + emotion for
+        already-built model windows. windows (n, model_window) float32 ->
+        (texts: list[str] of n, probs: (n, n_classes) float32). Row
+        batches are padded to power-of-two buckets capped at `max_batch`
+        so jit recompiles stay bounded regardless of n."""
+        n = windows.shape[0]
         dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
                             repetition_penalty=1.15,
                             no_repeat_ngram_size=3,
                             kv_quant=self.kv_quant)
-        out = self._decode(window, dcfg)
-        tokens = np.asarray(out["tokens"])[0]
-        return self._text(tokens, out["prompt_len"],
-                          int(np.asarray(out["lengths"])[0]))
+        bucket = 1
+        while bucket < min(n, max_batch):
+            bucket *= 2
+        texts: List[str] = []
+        probs_rows = []
+        for start in range(0, n, bucket):
+            idxs = list(range(start, min(start + bucket, n)))
+            group = np.zeros((bucket, self._window), np.float32)
+            group[: len(idxs)] = windows[idxs[0]: idxs[-1] + 1]
+            out = self._decode(group, dcfg)
+            logits = emo.sequence_emotion_from_hiddens(
+                self.params, out["hiddens"], out["lengths"])
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1),
+                               np.float32)
+            tokens = np.asarray(out["tokens"])
+            lengths = np.asarray(out["lengths"])
+            for row in range(len(idxs)):
+                texts.append(self._text(tokens[row], out["prompt_len"],
+                                        int(lengths[row])))
+                probs_rows.append(probs[row])
+        return texts, np.stack(probs_rows)
+
+    def _window_for(self, wav: np.ndarray) -> np.ndarray:
+        window = np.zeros((1, self._window), np.float32)
+        n = min(len(wav), self._window)
+        window[0, :n] = wav[:n]
+        return window
+
+    def _segment_windows(self, wav: np.ndarray, seg_len: int) -> np.ndarray:
+        n_segs = max(1, math.ceil(len(wav) / seg_len))
+        windows = np.zeros((n_segs, self._window), np.float32)
+        for s in range(n_segs):
+            # chunks beyond the model window are truncated to it
+            # (whisper's fixed-window semantics)
+            chunk = wav[s * seg_len: (s + 1) * seg_len][: self._window]
+            windows[s, : len(chunk)] = chunk
+        return windows
+
+    def transcribe(self, waveform: np.ndarray, sr: int, *,
+                   max_new_tokens: int = 128, runner=None) -> str:
+        """Full-clip transcription (reference inference.py:152-171:
+        greedy, repetition_penalty 1.15). `runner` overrides
+        analyze_windows (the serving micro-batcher routes through its
+        shared queue here)."""
+        wav = self._prep(waveform, sr)
+        run = runner or self.analyze_windows
+        texts, _ = run(self._window_for(wav),
+                       max_new_tokens=max_new_tokens)
+        return texts[0]
 
     def analyze(self, waveform: np.ndarray, sr: int, *,
                 segment_duration: float = 5.0,
                 max_new_tokens: int = 64,
-                max_batch: int = 16) -> dict:
+                max_batch: int = 16, runner=None) -> dict:
         """Transcription + per-segment emotion probabilities (reference
         perform_inference, inference.py:129-235; segment_duration=5 default
-        at inference.py:134)."""
+        at inference.py:134). `runner` overrides analyze_windows (serving
+        micro-batcher)."""
         wav = self._prep(waveform, sr)
         sr = self.mel_cfg.sample_rate
-        transcription = self.transcribe(wav, sr)
+        run = runner or (lambda w, **kw: self.analyze_windows(
+            w, max_batch=max_batch, **kw))
+        transcription = self.transcribe(wav, sr, runner=runner)
 
         seg_len = int(segment_duration * sr)
-        n_segs = max(1, math.ceil(len(wav) / seg_len))
-        # bucket the chunk-batch size to bound recompiles
-        bucket = 1
-        while bucket < min(n_segs, max_batch):
-            bucket *= 2
-
-        dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
-                            repetition_penalty=1.15,
-                            no_repeat_ngram_size=3,
-                            kv_quant=self.kv_quant)
+        windows = self._segment_windows(wav, seg_len)
+        texts, probs = run(windows, max_new_tokens=max_new_tokens)
         segments: List[dict] = []
-        for start in range(0, n_segs, bucket):
-            idxs = list(range(start, min(start + bucket, n_segs)))
-            windows = np.zeros((bucket, self._window), np.float32)
-            for row, s in enumerate(idxs):
-                # chunks beyond the model window are truncated to it
-                # (whisper's fixed-window semantics)
-                chunk = wav[s * seg_len: (s + 1) * seg_len][: self._window]
-                windows[row, : len(chunk)] = chunk
-            out = self._decode(windows, dcfg)
-            logits = emo.sequence_emotion_from_hiddens(
-                self.params, out["hiddens"], out["lengths"])
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-            tokens = np.asarray(out["tokens"])
-            lengths = np.asarray(out["lengths"])
-            for row, s in enumerate(idxs):
-                p = probs[row]
-                segments.append({
-                    "start": s * segment_duration,
-                    "end": min((s + 1) * segment_duration,
-                               len(wav) / sr),
-                    "text": self._text(tokens[row], out["prompt_len"],
-                                       int(lengths[row])),
-                    "emotion_probs": {self.idx_to_label.get(i, str(i)):
-                                      float(p[i]) for i in range(len(p))},
-                    "emotion": self.idx_to_label.get(int(p.argmax()),
-                                                     str(int(p.argmax()))),
-                })
+        for s in range(windows.shape[0]):
+            p = probs[s]
+            segments.append({
+                "start": s * segment_duration,
+                "end": min((s + 1) * segment_duration, len(wav) / sr),
+                "text": texts[s],
+                "emotion_probs": {self.idx_to_label.get(i, str(i)):
+                                  float(p[i]) for i in range(len(p))},
+                "emotion": self.idx_to_label.get(int(p.argmax()),
+                                                 str(int(p.argmax()))),
+            })
         return {"transcription": transcription, "segments": segments}
 
 

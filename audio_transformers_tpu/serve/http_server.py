@@ -60,7 +60,7 @@ def _parse_audio(data: bytes):
     return to_mono(audio), sr
 
 
-def make_handler(pipeline, segment_duration: float):
+def make_handler(pipeline, segment_duration: float, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             print(f"[serve] {fmt % args}")
@@ -100,18 +100,29 @@ def make_handler(pipeline, segment_duration: float):
                     {"error": f"bad audio: {e}"}).encode(),
                     "application/json")
                 return
-            result = pipeline.analyze(audio, sr,
-                                      segment_duration=segment_duration)
+            result = pipeline.analyze(
+                audio, sr, segment_duration=segment_duration,
+                runner=batcher.runner if batcher is not None else None)
             self._send(200, json.dumps(result).encode(), "application/json")
 
     return Handler
 
 
 def serve(pipeline, *, host: str = "127.0.0.1", port: int = 8501,
-          segment_duration: float = 5.0):
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(pipeline, segment_duration))
-    print(f"[serve] listening on http://{host}:{port}")
+          segment_duration: float = 5.0, microbatch: bool = True,
+          max_wait_ms: float = 10.0):
+    """microbatch: decode concurrent requests as one padded device batch
+    (serve/batching.MicroBatcher) — a lone request pays at most
+    `max_wait_ms` extra; concurrent requests save a full decode each."""
+    batcher = None
+    if microbatch:
+        from audio_transformers_tpu.serve.batching import MicroBatcher
+        batcher = MicroBatcher(pipeline.analyze_windows,
+                               max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(pipeline, segment_duration, batcher))
+    print(f"[serve] listening on http://{host}:{port} "
+          f"(microbatch={'on' if batcher else 'off'})")
     httpd.serve_forever()
 
 
@@ -126,6 +137,10 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--segment_duration", type=float, default=5.0)
+    p.add_argument("--no_microbatch", action="store_true",
+                   help="serve each request as its own device batch "
+                        "instead of micro-batching concurrent uploads")
+    p.add_argument("--microbatch_wait_ms", type=float, default=10.0)
     p.add_argument("--kv_quant", default="none", choices=["none", "int8", "int4"],
                    help="quantize the decode K/V caches (int8 halves the "
                         "per-step HBM read, int4 quarters it; approximate "
@@ -135,7 +150,9 @@ def main(argv=None):
     enable_compilation_cache()
     pipeline = load_pipeline(args)
     serve(pipeline, host=args.host, port=args.port,
-          segment_duration=args.segment_duration)
+          segment_duration=args.segment_duration,
+          microbatch=not args.no_microbatch,
+          max_wait_ms=args.microbatch_wait_ms)
 
 
 if __name__ == "__main__":

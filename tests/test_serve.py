@@ -125,6 +125,63 @@ def test_analyze_flac_roundtrip(server):
     assert len(out["segments"]) == 2
 
 
+def test_microbatched_server_matches_direct(server):
+    """A server with cross-request micro-batching enabled
+    (serve/batching.MicroBatcher) returns the same analysis as the
+    plain per-request server, under concurrent uploads."""
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+    from audio_transformers_tpu.serve.batching import MicroBatcher
+
+    mel_cfg = MelConfig.whisper(n_mels=TINY.whisper.n_mels)
+    params = emo.init(jax.random.PRNGKey(0), TINY)
+    pipe = EmotionWhisperPipeline(
+        params, TINY, mel_cfg,
+        idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+        compute_dtype=jnp.float32)
+    batcher = MicroBatcher(pipe.analyze_windows, max_wait_ms=200.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(pipe, segment_duration=1.0, batcher=batcher))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        sr = 16000
+        wav = synth_clip(1.6, sr)
+        body = _wav_bytes(wav, sr)
+        results = [None, None]
+
+        def post(i):
+            req = urllib.request.Request(f"{url}/analyze", data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        want = pipe.analyze(wav, sr, segment_duration=1.0)
+        for got in results:
+            # coalesced requests run at a different padded batch size, so
+            # probabilities may differ by reduction-order ulps
+            assert got["transcription"] == want["transcription"]
+            assert len(got["segments"]) == len(want["segments"])
+            for g, w in zip(got["segments"], want["segments"]):
+                assert (g["start"], g["end"], g["text"], g["emotion"]) \
+                    == (w["start"], w["end"], w["text"], w["emotion"])
+                for k, v in w["emotion_probs"].items():
+                    assert abs(g["emotion_probs"][k] - v) < 1e-4
+        assert batcher.stats["requests"] >= 2
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 def test_unknown_paths_404(server):
     with pytest.raises(urllib.error.HTTPError) as e1:
         urllib.request.urlopen(f"{server}/nope", timeout=30)
