@@ -6,6 +6,7 @@ from audio_transformers_tpu.models.whisper.model import (  # noqa: F401
     init,
     init_cache,
     logits_from_hidden,
+    pad_cross_time,
     param_axes,
     prepare_decode_params,
     precompute_cross_attention,

@@ -390,7 +390,7 @@ def pad_cross_time(cross: dict) -> dict:
             if x.shape[-1] == want:
                 return x
             return jnp.pad(
-                x, ((0, 0),) * (x.ndim - 1) + ((0, want - x.shape[-1])))
+                x, ((0, 0),) * (x.ndim - 1) + ((0, want - x.shape[-1]),))
 
         out = dict(cross)
         out["k"] = [pad_half(x) for x in cross["k"]]

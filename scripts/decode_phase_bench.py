@@ -71,10 +71,20 @@ def main(argv=None):
     mel = jax.jit(lambda wv: log_mel(wv, mel_cfg).astype(compute))(waveform)
     enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="xla")
 
+    # the XLA bodies consume the production (unpadded) K/V; the fused
+    # bodies need block-padded time axes built OUTSIDE the scan (an
+    # in-body jnp.pad copies the whole cache every rep — +3.3 ms/step
+    # measured). pad_cross_time runs outside jit so its t_valid stays a
+    # static python int.
     cross16 = jax.jit(lambda e: wm.precompute_cross_attention(
         params["whisper"], w, e, quant="none"))(enc)
     cross8 = jax.jit(lambda e: wm.precompute_cross_attention(
         params["whisper"], w, e, quant="int8"))(enc)
+    cross16p = wm.pad_cross_time(cross16)
+    cross8p = wm.pad_cross_time(cross8)
+    cross4p = wm.pad_cross_time(jax.jit(
+        lambda e: wm.precompute_cross_attention(
+            params["whisper"], w, e, quant="int4"))(enc))
     sp = jax.jit(lambda: wm.prepare_decode_params(params["whisper"], w,
                                                   dtype=compute))()
     cache = wm.init_cache(w, B, max_len=LBUF, dtype=compute)
@@ -160,11 +170,15 @@ def main(argv=None):
         return x
 
     def logits_body(feed, c, ops):
+        # consume through argmax: a slice would let XLA's algebraic
+        # simplifier narrow the dot to (B, slice) and a plain sum would
+        # rewrite reduce(dot) -> dot(reduce) — both delete the benched op
+        # (this probe once measured NEGATIVE through a slice)
         x = feed + c.astype(feed.dtype) * 1e-30
         table = sp["embed"]["table"]
         out = jnp.einsum("bd,vd->bv", x, table,
                          preferred_element_type=jnp.float32)
-        return out[:, :d]  # consume a slice; full (B,V) was materialized
+        return jnp.argmax(out, axis=-1)[:, None].astype(jnp.float32)
 
     def procs_body(feed, c, ops):
         lg = logits0 + c * 1e-30 + feed[:, :1] * 0.0
@@ -177,41 +191,43 @@ def main(argv=None):
     from audio_transformers_tpu.ops.decode_attention import (
         decode_cross_attention)
 
-    def cross_fused16_body(feed, c, ops):
-        x = feed + c.astype(feed.dtype) * 1e-30
-        for li, bp in enumerate(sp["blocks"]):
-            h = nn.layer_norm(bp["cross_ln"], x)
-            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
-            cattn = decode_cross_attention(
-                cq, ops["cross16"]["k"][li], ops["cross16"]["v"][li],
-                scale=scale).astype(x.dtype)
-            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
-        return x
+    def make_fused_body(key, t_valid):
+        # t_valid is captured STATICALLY (it configures the kernel); the
+        # ops dicts passed as jit arguments hold arrays only
+        def body(feed, c, ops):
+            x = feed + c.astype(feed.dtype) * 1e-30
+            cr = ops[key]
+            quant = "k_scale" in cr
+            for li, bp in enumerate(sp["blocks"]):
+                h = nn.layer_norm(bp["cross_ln"], x)
+                cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
+                cattn = decode_cross_attention(
+                    cq, cr["k"][li], cr["v"][li],
+                    k_scale=cr["k_scale"][li] if quant else None,
+                    v_scale=cr["v_scale"][li] if quant else None,
+                    t_valid=t_valid,
+                    scale=scale).astype(x.dtype)
+                x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
+            return x
+        return body
 
-    def cross_fused8_body(feed, c, ops):
-        x = feed + c.astype(feed.dtype) * 1e-30
-        for li, bp in enumerate(sp["blocks"]):
-            h = nn.layer_norm(bp["cross_ln"], x)
-            cq = nn.linear(bp["cross_q"], h).reshape(B, heads, hd)
-            cattn = decode_cross_attention(
-                cq, ops["cross8"]["k"][li], ops["cross8"]["v"][li],
-                k_scale=ops["cross8"]["k_scale"][li],
-                v_scale=ops["cross8"]["v_scale"][li],
-                scale=scale).astype(x.dtype)
-            x = x + nn.linear(bp["cross_o"], cattn.reshape(B, d))
-        return x
+    def strip_tv(cr):
+        return {k: v for k, v in cr.items() if k != "t_valid"}
 
     variants = {
         "self_step": self_step_body,
         "cross_bf16": cross_bf16_body,
         "cross_int8": cross_int8_body,
-        "cross_fused16": cross_fused16_body,
-        "cross_fused8": cross_fused8_body,
+        "cross_fused16": make_fused_body("cross16p", cross16p["t_valid"]),
+        "cross_fused8": make_fused_body("cross8p", cross8p["t_valid"]),
+        "cross_fused4": make_fused_body("cross4p", cross4p["t_valid"]),
         "logits": logits_body,
         "procs": procs_body,
     }
 
-    all_ops = {"cache": cache, "cross16": cross16, "cross8": cross8}
+    all_ops = {"cache": cache, "cross16": cross16, "cross8": cross8,
+               "cross16p": strip_tv(cross16p), "cross8p": strip_tv(cross8p),
+               "cross4p": strip_tv(cross4p)}
     fns = {}
     for name, body in variants.items():
         fns[name] = {}
@@ -226,26 +242,28 @@ def main(argv=None):
             float(np.asarray(fn(x0, all_ops)[0], np.float32))
             fns[name][n] = fn
 
-    results = {name: [] for name in variants}
+    # min each chain length over rounds SEPARATELY, then difference —
+    # a min over per-round differences goes negative under tunnel jitter
+    best = {name: {LO: 1e9, HI: 1e9} for name in variants}
     for _ in range(args.rounds):
         for name in variants:
-            ts = {}
             for n in (LO, HI):
                 fn = fns[name][n]
                 t0 = time.perf_counter()
                 for _ in range(REPS):
                     out = fn(x0, all_ops)
                 float(np.asarray(out[0], np.float32))
-                ts[n] = (time.perf_counter() - t0) / REPS
-            results[name].append((ts[HI] - ts[LO]) / (HI - LO) * 1e3)
+                best[name][n] = min(best[name][n],
+                                    (time.perf_counter() - t0) / REPS)
     total = 0.0
-    for name, vals in results.items():
-        v = min(vals)
-        if name not in ("cross_bf16", "cross_fused16", "cross_fused8"):
+    production = ("self_step", "cross_fused8", "logits", "procs")
+    for name in variants:
+        v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
+        if name in production:
             total += v
-        print(f"{name:12s} {v:8.3f} ms  (runs {['%.2f' % x for x in vals]})",
-              flush=True)
-    print(f"sum (int8 path, ex cross_bf16): {total:.3f} ms", flush=True)
+        print(f"{name:14s} {v:8.3f} ms", flush=True)
+    print(f"sum (production int8 step: {'+'.join(production)}): "
+          f"{total:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -387,6 +387,38 @@ class TestInt8CrossKV:
         agree = (t == tq).mean()
         assert agree >= 0.7, (agree, t, tq)
 
+    @pytest.mark.parametrize("quant,attn_impl", [
+        ("int8", "fused"),   # the production TPU pairing
+        ("int4", "fused"),
+        ("int4", "xla"),     # the off-TPU int4 fallback slices t_valid
+    ])
+    def test_pad_cross_time_preserves_step(self, hf_pair, quant,
+                                           attn_impl):
+        """Kernel-block time padding (pad_cross_time) must not change the
+        decoder step for the consumers that accept a padded dict: the
+        fused kernel masks by t_valid (the plain-XLA int8 path does NOT —
+        generate only pads when it resolves to the fused kernel); the
+        int4 XLA fallback slices the padding off. For int4 the packed
+        minor axis pads to half the 256-rounded block."""
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=31)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        cross = wm.precompute_cross_attention(params, cfg, enc, quant=quant)
+        padded = wm.pad_cross_time(cross)
+        assert padded["t_valid"] == enc.shape[1]
+        assert padded["k"][0].shape[-1] > cross["k"][0].shape[-1]
+        sp = wm.prepare_decode_params(params, cfg)
+        tok = jnp.asarray([3, 7], jnp.int32)
+        h_plain, _ = wm.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, 2, max_len=8), cross,
+            step_params=sp, attn_impl=attn_impl)
+        h_padded, _ = wm.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, 2, max_len=8), padded,
+            step_params=sp, attn_impl=attn_impl)
+        np.testing.assert_allclose(np.asarray(h_padded),
+                                   np.asarray(h_plain),
+                                   rtol=2e-4, atol=2e-5)
+
     def test_int4_rejects_odd_encoder_length(self, hf_pair):
         _, cfg, params = hf_pair
         mel = _mel(1, 2 * cfg.max_source_positions, cfg.n_mels)
