@@ -78,6 +78,12 @@ def make_handler(pipeline, segment_duration: float, batcher=None):
                 self._send(200, page.encode(), "text/html")
             elif self.path == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
+            elif self.path == "/stats":
+                stats = {"microbatch": batcher is not None}
+                if batcher is not None:
+                    stats.update(batcher.stats)
+                self._send(200, json.dumps(stats).encode(),
+                           "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 

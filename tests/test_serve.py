@@ -165,6 +165,11 @@ def test_microbatched_server_matches_direct(server):
             th.start()
         for th in threads:
             th.join(timeout=600)
+        with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["microbatch"] is True
+        assert stats["requests"] >= 2  # 2 uploads x (transcribe+segments)
+
         want = pipe.analyze(wav, sr, segment_duration=1.0)
         for got in results:
             # coalesced requests run at a different padded batch size, so
