@@ -541,6 +541,31 @@ class TestFusedGreedyLogits:
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                           err_msg=str(sorted(kw)))
 
+    def test_kernel_real_vocab_geometry(self):
+        """One step at the production geometry (V=51865 -> 51 vocab
+        tiles, D=384): exercises the multi-tile running argmax and the
+        padded-tail masking at real scale (interpret mode)."""
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step, fused_greedy_step_reference,
+            pad_vocab)
+
+        rng = np.random.default_rng(5)
+        b, d, vocab = 4, 384, 51865
+        v_pad = pad_vocab(vocab)
+        hidden = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+        table_t = jnp.asarray(rng.standard_normal((d, v_pad)) * 0.05,
+                              jnp.float32)
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        add[0, wdecode.WHISPER_MULTILINGUAL_SUPPRESS] = NEG_INF
+        add = jnp.asarray(add)
+        seen = jnp.asarray(rng.integers(0, 2, (b, v_pad)), jnp.int8)
+        got = fused_greedy_step(hidden, table_t, add, seen=seen,
+                                penalty=1.15)
+        want = fused_greedy_step_reference(hidden, table_t, add,
+                                           seen=seen, penalty=1.15)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_kernel_tie_breaks_to_lowest_index(self):
         from audio_transformers_tpu.ops.decode_logits import (
             NEG_INF, fused_greedy_step, pad_vocab)
