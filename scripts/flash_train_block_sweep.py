@@ -91,15 +91,17 @@ def main(argv=None):
             print(f"{bq}/{bk} failed to compile: {type(e).__name__}",
                   flush=True)
 
-    best = {c: float("inf") for c in fns}
+    # min each chain length over rounds SEPARATELY, then difference —
+    # a min over per-round differences goes negative under tunnel jitter
+    chain = {(c, n): float("inf") for c in fns for n in (lo, hi)}
     for r in range(args.rounds):
         for c, pair in fns.items():
-            ts = {}
             for n in (lo, hi):
                 t0 = time.perf_counter()
                 sync(pair[n](q, k, v))
-                ts[n] = time.perf_counter() - t0
-            best[c] = min(best[c], (ts[hi] - ts[lo]) / (hi - lo))
+                chain[(c, n)] = min(chain[(c, n)],
+                                    time.perf_counter() - t0)
+    best = {c: (chain[(c, hi)] - chain[(c, lo)]) / (hi - lo) for c in fns}
     for (bq, bk), s in sorted(best.items(), key=lambda kv: kv[1]):
         print(f"block_q={bq:4d} block_k={bk:4d}  {s * 1e3:7.2f} ms "
               f"(fwd+bwd, B={B})", flush=True)

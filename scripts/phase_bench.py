@@ -137,21 +137,22 @@ def main(argv=None):
             float(np.asarray(fn(feed)[0], np.float32))
             fns[name][n] = (fn, feed)
 
-    results = {name: [] for name in variants}
+    # min each chain length over rounds SEPARATELY, then difference —
+    # a min over per-round differences goes negative under tunnel jitter
+    best = {name: {LO: 1e9, HI: 1e9} for name in variants}
     for _ in range(args.rounds):
         for name in variants:
-            ts = {}
             for n in (LO, HI):
                 fn, feed = fns[name][n]
                 t0 = time.perf_counter()
                 for _ in range(REPS):
                     out = fn(feed)
                 float(np.asarray(out[0], np.float32))
-                ts[n] = (time.perf_counter() - t0) / REPS
-            results[name].append((ts[HI] - ts[LO]) / (HI - LO) * 1e3)
-    for name, vals in results.items():
-        print(f"{name:24s} {min(vals):8.2f} ms  (runs "
-              f"{['%.1f' % v for v in vals]})", flush=True)
+                best[name][n] = min(best[name][n],
+                                    (time.perf_counter() - t0) / REPS)
+    for name in variants:
+        v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
+        print(f"{name:24s} {v:8.2f} ms", flush=True)
 
     # decode per-step: difference two token budgets (overhead-free)
     for kv_quant in ("none", "int8"):

@@ -99,19 +99,21 @@ def main(argv=None):
             fns[(tb, n)] = (fn, batch)
             print(f"compiled b{tb} n={n}", flush=True)
 
-    best = {tb: float("inf") for tb in batches}
+    # min each chain length over rounds SEPARATELY, then difference —
+    # a min over per-round differences goes negative under tunnel jitter
+    chain = {(tb, n): float("inf") for tb in batches for n in (lo, hi)}
     for r in range(args.rounds):
         for tb in batches:
-            ts = {}
             for n in (lo, hi):
                 fn, batch = fns[(tb, n)]
                 t0 = time.perf_counter()
                 out = fn(params, batch)
                 sync(out)
-                ts[n] = time.perf_counter() - t0
-            step_s = (ts[hi] - ts[lo]) / (hi - lo)
-            best[tb] = min(best[tb], step_s)
-            print(f"round {r} b{tb}: {step_s * 1e3:.2f} ms/step", flush=True)
+                chain[(tb, n)] = min(chain[(tb, n)],
+                                     time.perf_counter() - t0)
+            print(f"round {r} b{tb} done", flush=True)
+    best = {tb: (chain[(tb, hi)] - chain[(tb, lo)]) / (hi - lo)
+            for tb in batches}
 
     b_lo, b_hi = batches
     ms_lo, ms_hi = best[b_lo] * 1e3, best[b_hi] * 1e3
