@@ -154,8 +154,9 @@ def main(argv=None):
         v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
         print(f"{name:24s} {v:8.2f} ms", flush=True)
 
-    # decode per-step: difference two token budgets (overhead-free)
-    for kv_quant in ("none", "int8"):
+    # decode per-step: difference two token budgets (overhead-free);
+    # min each budget over rounds before differencing
+    for kv_quant in ("none", "int8", "int4"):
         def timed(ntok):
             dcfg = DecodeConfig(max_new_tokens=ntok, no_repeat_ngram_size=3,
                                 repetition_penalty=1.15, kv_quant=kv_quant)
@@ -163,13 +164,19 @@ def main(argv=None):
             out = wdecode.generate(params["whisper"], w, dcfg, enc0,
                                    prompt=prompt)
             int(np.asarray(out["lengths"][0]))
-            t0 = time.perf_counter()
+            best = 1e9
             for _ in range(4):
+                t0 = time.perf_counter()
                 out = wdecode.generate(params["whisper"], w, dcfg, enc0,
                                        prompt=prompt)
-            int(np.asarray(out["lengths"][0]))
-            return (time.perf_counter() - t0) / 4
-        per = (timed(64) - timed(16)) / 48 * 1e3
+                int(np.asarray(out["lengths"][0]))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        budget = {16: 1e9, 64: 1e9}
+        for _ in range(max(args.rounds, 2)):
+            for ntok in (16, 64):
+                budget[ntok] = min(budget[ntok], timed(ntok))
+        per = (budget[64] - budget[16]) / 48 * 1e3
         print(f"decode/step kv={kv_quant:5s}   {per:8.3f} ms", flush=True)
 
     # full train step (scan-chained, carries params+opt so nothing is DCE'd)
