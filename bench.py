@@ -61,13 +61,15 @@ def _min_time(call, reps: int) -> float:
     return best
 
 
-def _wait_for_backend(budget_s: float = 900.0) -> None:
+def _wait_for_backend(budget_s: float = 900.0) -> bool:
     """The axon tunnel goes down for stretches (backend init raises
-    UNAVAILABLE); retry for a while before giving up so a transient
-    outage at bench time doesn't lose the round's artifact. Probes in a
-    SUBPROCESS: jax caches a failed backend init for the process
-    lifetime, so the first in-process attempt must not happen until a
-    probe has succeeded."""
+    UNAVAILABLE, or jax.devices() hangs outright); retry for a while so a
+    transient outage at bench time doesn't lose the round's artifact.
+    Probes in a SUBPROCESS: jax caches a failed backend init for the
+    process lifetime, so the first in-process attempt must not happen
+    until a probe has succeeded. Returns False when the budget runs out
+    without one live probe — the caller must then pin CPU rather than
+    attempt the real init, which can hang the process forever."""
     import subprocess
     import sys
     deadline = time.time() + budget_s
@@ -81,19 +83,30 @@ def _wait_for_backend(budget_s: float = 900.0) -> None:
         except subprocess.TimeoutExpired:  # init can hang, not just raise
             ok = False
         if ok:
-            return
+            return True
         if time.time() >= deadline:
-            return  # let the real init raise the actual error
+            return False
         print(f"# backend unavailable, retrying "
               f"({int(deadline - time.time())}s left)", flush=True)
         time.sleep(30)
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    _wait_for_backend()
+    backend_probed = _wait_for_backend(
+        float(os.environ.get("ATX_BENCH_BACKEND_BUDGET_S", "900")))
+    if not backend_probed:
+        # Every probe failed: the in-process init would hang or raise the
+        # same way, losing the round's artifact entirely. Pin CPU (the
+        # tunnel plugin re-registers itself when JAX_PLATFORMS merely says
+        # "cpu", so drop the var and pin via jax.config — same recipe as
+        # tests/conftest.py) and emit an honest degraded line instead.
+        os.environ.pop("JAX_PLATFORMS", None)
+        jax.config.update("jax_platforms", "cpu")
 
     from audio_transformers_tpu.core.profiling import (
         enable_compilation_cache)
@@ -176,7 +189,12 @@ def main():
         "vs_baseline": round(rtfx / 20.0, 3),
         "pipeline_ms": round(dt * 1e3, 2),
         "batch": batch,
+        "backend": jax.default_backend(),
     }
+    if not backend_probed:
+        result["errors"] = [
+            "tpu backend unavailable after retry budget; "
+            "degraded cpu-fallback run (numbers are NOT tpu numbers)"]
     def extra(key, fn):
         """Record a non-headline metric; a failure (e.g. a congested
         compile timing out upstream, or a kernel variant failing on a
