@@ -258,15 +258,21 @@ class EmotionWhisperPipeline:
     def analyze(self, waveform: np.ndarray, sr: int, *,
                 segment_duration: float = 5.0,
                 max_new_tokens: int = 64,
-                max_batch: int = 16, runner=None) -> dict:
+                max_batch: Optional[int] = None, runner=None) -> dict:
         """Transcription + per-segment emotion probabilities (reference
         perform_inference, inference.py:129-235; segment_duration=5 default
         at inference.py:134). `runner` overrides analyze_windows (serving
-        micro-batcher)."""
+        micro-batcher) and owns the batching policy — it cannot honor a
+        per-call `max_batch`, so passing both is an error rather than a
+        silent ignore."""
+        if runner is not None and max_batch is not None:
+            raise ValueError(
+                "max_batch has no effect when a runner is supplied; the "
+                "runner (e.g. MicroBatcher) owns the batching policy")
         wav = self._prep(waveform, sr)
         sr = self.mel_cfg.sample_rate
         run = runner or (lambda w, **kw: self.analyze_windows(
-            w, max_batch=max_batch, **kw))
+            w, max_batch=16 if max_batch is None else max_batch, **kw))
         transcription = self.transcribe(wav, sr, runner=runner)
 
         seg_len = int(segment_duration * sr)

@@ -56,7 +56,13 @@ class MicroBatcher:
         """Enqueue (n, W) windows; resolves to (texts, probs) for exactly
         those rows, in order."""
         fut: Future = Future()
-        self._q.put((int(max_new_tokens), np.asarray(windows), fut))
+        windows = np.asarray(windows)
+        if windows.ndim != 2:
+            # fail in the caller's thread — a malformed item must never
+            # reach the worker, where it would poison a coalesced batch
+            raise ValueError(
+                f"submit expects (n, W) windows, got shape {windows.shape}")
+        self._q.put((int(max_new_tokens), windows, fut))
         return fut
 
     def runner(self, windows: np.ndarray, *, max_new_tokens: int = 64
@@ -94,15 +100,29 @@ class MicroBatcher:
             first = self._q.get()
             if first is None:
                 return
-            batch = self._drain(first)
+            try:
+                batch = self._drain(first)
+            except Exception as e:  # pragma: no cover — defensive
+                if not first[2].done():
+                    first[2].set_exception(e)
+                continue
             by_key = {}
             for key, windows, fut in batch:
                 by_key.setdefault(key, []).append((windows, fut))
             for key, items in by_key.items():
-                windows = np.concatenate([w for w, _ in items], axis=0) \
-                    if len(items) > 1 else items[0][0]
+                rows = sum(w.shape[0] for w, _ in items)
+                # EVERYTHING per group stays inside the try: an exception
+                # escaping this loop kills the worker thread, and every
+                # pending and future request would then hang forever.
                 try:
+                    windows = np.concatenate([w for w, _ in items], axis=0) \
+                        if len(items) > 1 else items[0][0]
                     texts, probs = self._run(windows, max_new_tokens=key)
+                    if len(texts) != rows or np.shape(probs)[0] != rows:
+                        raise RuntimeError(
+                            f"run_windows returned {len(texts)} texts / "
+                            f"{np.shape(probs)[0]} prob rows for {rows} "
+                            f"submitted rows")
                     off = 0
                     for w, fut in items:
                         n = w.shape[0]
@@ -115,4 +135,4 @@ class MicroBatcher:
                             fut.set_exception(e)
                 self.stats["batches"] += 1
                 self.stats["requests"] += len(items)
-                self.stats["rows"] += windows.shape[0]
+                self.stats["rows"] += rows

@@ -69,14 +69,21 @@ def _wait_for_backend(budget_s: float = 900.0) -> bool:
     process lifetime, so the first in-process attempt must not happen
     until a probe has succeeded. Returns False when the budget runs out
     without one live probe — the caller must then pin CPU rather than
-    attempt the real init, which can hang the process forever."""
+    attempt the real init, which can hang the process forever.
+
+    The probe demands a NON-CPU device: when the tunnel plugin fails to
+    initialize, jax silently falls back to CPU with exit code 0, which
+    would otherwise count as a live probe and drop the degraded-run
+    marker from the artifact."""
     import subprocess
     import sys
+    probe = ("import jax, sys; sys.exit(0 if any("
+             "d.platform != 'cpu' for d in jax.devices()) else 3)")
     deadline = time.time() + budget_s
     while True:
         try:
             ok = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                 timeout=180,
             ).returncode == 0
@@ -97,7 +104,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    backend_probed = _wait_for_backend(
+    # A CPU-only environment (JAX_PLATFORMS unset or "cpu") is a
+    # legitimate dev run, not an outage — don't probe, don't mark
+    # degraded; on_tpu=False already scales the shapes down.
+    expect_accel = os.environ.get(
+        "JAX_PLATFORMS", "").strip().lower() not in ("", "cpu")
+    backend_probed = not expect_accel or _wait_for_backend(
         float(os.environ.get("ATX_BENCH_BACKEND_BUDGET_S", "900")))
     if not backend_probed:
         # Every probe failed: the in-process init would hang or raise the

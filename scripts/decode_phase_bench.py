@@ -19,11 +19,13 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _ab import roundrobin_min  # noqa: E402
 
 
 def main(argv=None):
@@ -242,23 +244,20 @@ def main(argv=None):
             float(np.asarray(fn(x0, all_ops)[0], np.float32))
             fns[name][n] = fn
 
-    # min each chain length over rounds SEPARATELY, then difference —
-    # a min over per-round differences goes negative under tunnel jitter
-    best = {name: {LO: 1e9, HI: 1e9} for name in variants}
-    for _ in range(args.rounds):
-        for name in variants:
-            for n in (LO, HI):
-                fn = fns[name][n]
-                t0 = time.perf_counter()
-                for _ in range(REPS):
-                    out = fn(x0, all_ops)
-                float(np.asarray(out[0], np.float32))
-                best[name][n] = min(best[name][n],
-                                    (time.perf_counter() - t0) / REPS)
+    def rep_window(fn):
+        out = None
+        for _ in range(REPS):
+            out = fn(x0, all_ops)
+        float(np.asarray(out[0], np.float32))
+
+    best = roundrobin_min(
+        {(name, n): (lambda fn=fns[name][n]: rep_window(fn))
+         for name in variants for n in (LO, HI)},
+        args.rounds)
     total = 0.0
     production = ("self_step", "cross_fused8", "logits", "procs")
     for name in variants:
-        v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
+        v = (best[(name, HI)] - best[(name, LO)]) / (HI - LO) / REPS * 1e3
         if name in production:
             total += v
         print(f"{name:14s} {v:8.3f} ms", flush=True)

@@ -25,11 +25,13 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _ab import roundrobin_min  # noqa: E402
 
 
 def main(argv=None):
@@ -116,21 +118,18 @@ def main(argv=None):
             fns[name][n] = (fn, feed)
         print(f"compiled {name}", flush=True)
 
-    # min each chain length over rounds SEPARATELY, then difference —
-    # a min over per-round differences goes negative under tunnel jitter
-    best = {name: {LO: 1e9, HI: 1e9} for name in variants}
-    for _ in range(args.rounds):
-        for name in variants:
-            for n in (LO, HI):
-                fn, feed = fns[name][n]
-                t0 = time.perf_counter()
-                for _ in range(REPS):
-                    out = fn(feed)
-                float(np.asarray(out[0], np.float32))
-                best[name][n] = min(best[name][n],
-                                    (time.perf_counter() - t0) / REPS)
+    def rep_window(fn, feed):
+        out = None
+        for _ in range(REPS):
+            out = fn(feed)
+        float(np.asarray(out[0], np.float32))
+
+    best = roundrobin_min(
+        {(name, n): (lambda fn_feed=fns[name][n]: rep_window(*fn_feed))
+         for name in variants for n in (LO, HI)},
+        args.rounds)
     for name in variants:
-        v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
+        v = (best[(name, HI)] - best[(name, LO)]) / (HI - LO) / REPS * 1e3
         print(f"{name:22s} {v:8.2f} ms", flush=True)
 
 

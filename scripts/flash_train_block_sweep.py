@@ -19,11 +19,13 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _ab import roundrobin_min  # noqa: E402
 
 
 def main(argv=None):
@@ -91,16 +93,10 @@ def main(argv=None):
             print(f"{bq}/{bk} failed to compile: {type(e).__name__}",
                   flush=True)
 
-    # min each chain length over rounds SEPARATELY, then difference —
-    # a min over per-round differences goes negative under tunnel jitter
-    chain = {(c, n): float("inf") for c in fns for n in (lo, hi)}
-    for r in range(args.rounds):
-        for c, pair in fns.items():
-            for n in (lo, hi):
-                t0 = time.perf_counter()
-                sync(pair[n](q, k, v))
-                chain[(c, n)] = min(chain[(c, n)],
-                                    time.perf_counter() - t0)
+    chain = roundrobin_min(
+        {(c, n): (lambda f=pair[n]: sync(f(q, k, v)))
+         for c, pair in fns.items() for n in (lo, hi)},
+        args.rounds)
     best = {c: (chain[(c, hi)] - chain[(c, lo)]) / (hi - lo) for c in fns}
     for (bq, bk), s in sorted(best.items(), key=lambda kv: kv[1]):
         print(f"block_q={bq:4d} block_k={bk:4d}  {s * 1e3:7.2f} ms "

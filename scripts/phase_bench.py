@@ -31,6 +31,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _ab import roundrobin_min  # noqa: E402
 
 
 def main(argv=None):
@@ -137,46 +140,40 @@ def main(argv=None):
             float(np.asarray(fn(feed)[0], np.float32))
             fns[name][n] = (fn, feed)
 
-    # min each chain length over rounds SEPARATELY, then difference —
-    # a min over per-round differences goes negative under tunnel jitter
-    best = {name: {LO: 1e9, HI: 1e9} for name in variants}
-    for _ in range(args.rounds):
-        for name in variants:
-            for n in (LO, HI):
-                fn, feed = fns[name][n]
-                t0 = time.perf_counter()
-                for _ in range(REPS):
-                    out = fn(feed)
-                float(np.asarray(out[0], np.float32))
-                best[name][n] = min(best[name][n],
-                                    (time.perf_counter() - t0) / REPS)
+    def rep_window(fn, feed):
+        out = None
+        for _ in range(REPS):
+            out = fn(feed)
+        float(np.asarray(out[0], np.float32))
+
+    best = roundrobin_min(
+        {(name, n): (lambda fn_feed=fns[name][n]: rep_window(*fn_feed))
+         for name in variants for n in (LO, HI)},
+        args.rounds)
     for name in variants:
-        v = (best[name][HI] - best[name][LO]) / (HI - LO) * 1e3
+        v = (best[(name, HI)] - best[(name, LO)]) / (HI - LO) / REPS * 1e3
         print(f"{name:24s} {v:8.2f} ms", flush=True)
 
     # decode per-step: difference two token budgets (overhead-free);
-    # min each budget over rounds before differencing
-    for kv_quant in ("none", "int8", "int4"):
-        def timed(ntok):
-            dcfg = DecodeConfig(max_new_tokens=ntok, no_repeat_ngram_size=3,
-                                repetition_penalty=1.15, kv_quant=kv_quant)
-            prompt = wdecode.build_prompt(w, dcfg)
-            out = wdecode.generate(params["whisper"], w, dcfg, enc0,
-                                   prompt=prompt)
-            int(np.asarray(out["lengths"][0]))
-            best = 1e9
-            for _ in range(4):
-                t0 = time.perf_counter()
-                out = wdecode.generate(params["whisper"], w, dcfg, enc0,
-                                       prompt=prompt)
-                int(np.asarray(out["lengths"][0]))
-                best = min(best, time.perf_counter() - t0)
-            return best
-        budget = {16: 1e9, 64: 1e9}
-        for _ in range(max(args.rounds, 2)):
-            for ntok in (16, 64):
-                budget[ntok] = min(budget[ntok], timed(ntok))
-        per = (budget[64] - budget[16]) / 48 * 1e3
+    # all kv variants interleaved in one round-robin
+    def decode_once(kv_quant, ntok):
+        dcfg = DecodeConfig(max_new_tokens=ntok, no_repeat_ngram_size=3,
+                            repetition_penalty=1.15, kv_quant=kv_quant)
+        prompt = wdecode.build_prompt(w, dcfg)
+        out = wdecode.generate(params["whisper"], w, dcfg, enc0,
+                               prompt=prompt)
+        int(np.asarray(out["lengths"][0]))
+
+    kvs = ("none", "int8", "int4")
+    for kv_quant in kvs:      # compile + warm before any timing
+        for ntok in (16, 64):
+            decode_once(kv_quant, ntok)
+    budget = roundrobin_min(
+        {(kv, ntok): (lambda kv=kv, ntok=ntok: decode_once(kv, ntok))
+         for kv in kvs for ntok in (16, 64)},
+        max(args.rounds, 2) * 4)
+    for kv_quant in kvs:
+        per = (budget[(kv_quant, 64)] - budget[(kv_quant, 16)]) / 48 * 1e3
         print(f"decode/step kv={kv_quant:5s}   {per:8.3f} ms", flush=True)
 
     # full train step (scan-chained, carries params+opt so nothing is DCE'd)

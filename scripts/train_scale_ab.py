@@ -17,11 +17,13 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _ab import roundrobin_min  # noqa: E402
 
 
 def main(argv=None):
@@ -99,19 +101,11 @@ def main(argv=None):
             fns[(tb, n)] = (fn, batch)
             print(f"compiled b{tb} n={n}", flush=True)
 
-    # min each chain length over rounds SEPARATELY, then difference —
-    # a min over per-round differences goes negative under tunnel jitter
-    chain = {(tb, n): float("inf") for tb in batches for n in (lo, hi)}
-    for r in range(args.rounds):
-        for tb in batches:
-            for n in (lo, hi):
-                fn, batch = fns[(tb, n)]
-                t0 = time.perf_counter()
-                out = fn(params, batch)
-                sync(out)
-                chain[(tb, n)] = min(chain[(tb, n)],
-                                     time.perf_counter() - t0)
-            print(f"round {r} b{tb} done", flush=True)
+    chain = roundrobin_min(
+        {(tb, n): (lambda fb=fns[(tb, n)]: sync(fb[0](params, fb[1])))
+         for tb in batches for n in (lo, hi)},
+        args.rounds,
+        on_round=lambda r: print(f"round {r} done", flush=True))
     best = {tb: (chain[(tb, hi)] - chain[(tb, lo)]) / (hi - lo)
             for tb in batches}
 

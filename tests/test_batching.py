@@ -95,6 +95,55 @@ def test_run_errors_propagate_to_every_waiter():
         b.close()
 
 
+def test_malformed_submit_fails_fast_and_worker_survives():
+    calls = []
+    b = MicroBatcher(_fake_run(calls), max_wait_ms=50.0)
+    try:
+        # wrong ndim is rejected in the CALLER's thread — it must never
+        # reach the worker, where concatenating it with other requests'
+        # (n, W) windows would kill the loop and hang every future request
+        try:
+            b.submit(np.zeros(4, np.float32), max_new_tokens=64)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "(n, W)" in str(e)
+        # the batcher still serves valid requests afterwards
+        t, _ = b.submit(_windows(5), max_new_tokens=64).result(timeout=10)
+        assert t == ["t64:5"]
+    finally:
+        b.close()
+
+
+def test_short_run_result_is_an_error_not_truncation():
+    def short_run(windows, *, max_new_tokens):
+        # drops the last row — the scatter must refuse to hand a waiter
+        # truncated results
+        return ([f"r{i}" for i in range(windows.shape[0] - 1)],
+                windows[:-1, :2])
+
+    b = MicroBatcher(short_run, max_wait_ms=200.0)
+    try:
+        f1 = b.submit(_windows(1), max_new_tokens=64)
+        f2 = b.submit(_windows(2), max_new_tokens=64)
+        for f in (f1, f2):
+            try:
+                f.result(timeout=10)
+                raise AssertionError("expected the length-mismatch error")
+            except RuntimeError as e:
+                assert "submitted rows" in str(e)
+        # and the worker survives: the next submit is SERVED (it hits
+        # short_run's error again promptly, rather than timing out on a
+        # dead worker thread)
+        f3 = b.submit(_windows(9), max_new_tokens=64)
+        try:
+            f3.result(timeout=10)
+            raise AssertionError("expected the length-mismatch error")
+        except RuntimeError:
+            pass
+    finally:
+        b.close()
+
+
 def test_lone_request_latency_bounded_by_window():
     calls = []
     b = MicroBatcher(_fake_run(calls), max_wait_ms=50.0)

@@ -125,10 +125,21 @@ def test_analyze_flac_roundtrip(server):
     assert len(out["segments"]) == 2
 
 
-def test_microbatched_server_matches_direct(server):
+class _IdTokenizer:
+    """Stub tokenizer: decode -> the raw id sequence as text. Makes the
+    microbatch-vs-direct text assertions meaningful (a None tokenizer
+    decodes every row to "", which would hide row-swap bugs)."""
+
+    def decode(self, ids, skip_special=True):
+        return " ".join(str(i) for i in ids)
+
+
+def test_microbatched_server_matches_direct():
     """A server with cross-request micro-batching enabled
     (serve/batching.MicroBatcher) returns the same analysis as the
-    plain per-request server, under concurrent uploads."""
+    plain per-request pipeline, under concurrent uploads of DIFFERENT
+    clips — identical clips would let a cross-request row swap pass
+    unnoticed."""
     import jax.numpy as jnp
 
     from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
@@ -139,7 +150,7 @@ def test_microbatched_server_matches_direct(server):
     pipe = EmotionWhisperPipeline(
         params, TINY, mel_cfg,
         idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
-        compute_dtype=jnp.float32)
+        tokenizer=_IdTokenizer(), compute_dtype=jnp.float32)
     batcher = MicroBatcher(pipe.analyze_windows, max_wait_ms=200.0)
     httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0),
@@ -149,13 +160,13 @@ def test_microbatched_server_matches_direct(server):
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
     try:
         sr = 16000
-        wav = synth_clip(1.6, sr)
-        body = _wav_bytes(wav, sr)
+        wavs = [synth_clip(1.6, sr, seed=i) for i in range(2)]
         results = [None, None]
 
         def post(i):
-            req = urllib.request.Request(f"{url}/analyze", data=body,
-                                         method="POST")
+            req = urllib.request.Request(
+                f"{url}/analyze", data=_wav_bytes(wavs[i], sr),
+                method="POST")
             with urllib.request.urlopen(req, timeout=600) as r:
                 results[i] = json.loads(r.read())
 
@@ -170,8 +181,8 @@ def test_microbatched_server_matches_direct(server):
         assert stats["microbatch"] is True
         assert stats["requests"] >= 2  # 2 uploads x (transcribe+segments)
 
-        want = pipe.analyze(wav, sr, segment_duration=1.0)
-        for got in results:
+        for i, got in enumerate(results):
+            want = pipe.analyze(wavs[i], sr, segment_duration=1.0)
             # coalesced requests run at a different padded batch size, so
             # probabilities may differ by reduction-order ulps
             assert got["transcription"] == want["transcription"]
@@ -182,6 +193,12 @@ def test_microbatched_server_matches_direct(server):
                 for k, v in w["emotion_probs"].items():
                     assert abs(g["emotion_probs"][k] - v) < 1e-4
         assert batcher.stats["requests"] >= 2
+
+        # a runner owns the batching policy — per-call max_batch alongside
+        # one is a contract error, not a silent ignore
+        with pytest.raises(ValueError, match="max_batch"):
+            pipe.analyze(wavs[0], sr, segment_duration=1.0,
+                         runner=batcher.runner, max_batch=4)
     finally:
         httpd.shutdown()
         batcher.close()
