@@ -297,6 +297,19 @@ class DecodeConfig(_ConfigBase):
     # "auto" resolves to "fused" on TPU when eligible. Token-for-token
     # identical to "xla" (tests/test_decode.py).
     logits_impl: str = "auto"
+    # Minimum decode-buffer length at which the incrementally-written
+    # self-attention KV cache is quantized alongside the cross KV; below
+    # it the per-step quantize/dequantize VPU work exceeds the bandwidth
+    # saved on the tiny cache re-read. A CONFIG field (not an env var) on
+    # purpose: it changes the traced program, and env vars are not part
+    # of the jit cache key — flipping one between calls with identical
+    # static args silently reuses the first-compiled program (CLAUDE.md
+    # "A/B variants MUST occupy distinct jit cache entries").
+    self_kv_min: int = 192
+    # "auto" | "fused" | "xla": the decode-step cross-attention kernel
+    # (models/whisper/model.resolve_step_attn). Same cache-key rationale
+    # as self_kv_min.
+    step_attn: str = "auto"
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,6 @@ that (evaluate_simple.py:141-143).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -106,27 +105,17 @@ def resolve_logits_impl(dcfg: DecodeConfig) -> str:
 
 
 def _ngram_window_flags(tokens, pos, n, finished=None):
-    """no-repeat-ngram window matching over the (B, L) history: returns
-    (flag, cont, starts) where flag (B, W) marks history windows whose
-    (n-1)-gram equals the current suffix, cont (B, W) is each window's
-    continuation token id, and starts is the window-start iota. Rows
-    already `finished` are unflagged: their post-EOS pad runs would
-    otherwise flag ~every window (their next token is forced to pad
-    regardless, so banning is moot — but a single finished row tripping
-    the top-K overflow would drag every step into the dense branch)."""
-    b, length = tokens.shape
-    last = jax.lax.dynamic_slice(
-        tokens, (0, jnp.maximum(pos - (n - 1), 0)), (b, n - 1))
-    num_windows = length - n + 1
-    match = jnp.ones((b, num_windows), bool)
-    for j in range(n - 1):
-        match &= tokens[:, j: j + num_windows] == last[:, j: j + 1]
-    starts = jnp.arange(num_windows)
-    valid = (starts[None, :] + (n - 1)) < pos  # fully in history
-    flag = match & valid & (pos >= n)
+    """no-repeat-ngram window matching over the (B, L) history — the
+    shared matcher (lp.ngram_window_match; the parity of every consumer
+    rests on one window-selection implementation) plus decode-loop
+    masking: rows already `finished` are unflagged. Their post-EOS pad
+    runs would otherwise flag ~every window (their next token is forced
+    to pad regardless, so banning is moot — but a single finished row
+    tripping the top-K overflow would drag every step into the dense
+    branch)."""
+    flag, cont, starts = lp.ngram_window_match(tokens, pos, n)
     if finished is not None:
         flag &= ~finished[:, None]
-    cont = tokens[:, n - 1: n - 1 + num_windows]
     return flag, cont, starts
 
 
@@ -291,8 +280,7 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     # saved on the tiny cache re-read (it exists for the 256-token
     # segment-eval budget, where the bf16 cache read is ~204 MB/step at
     # batch 128).
-    self_min = int(os.environ.get("ATX_SELF_KV_MIN", "192"))
-    self_quant = dcfg.kv_quant if L >= self_min else "none"
+    self_quant = dcfg.kv_quant if L >= dcfg.self_kv_min else "none"
     if self_quant == "int4":
         # int4 covers only the (dominant, precomputed) cross K/V; the
         # incrementally-written self cache stays int8 — its re-read is a
@@ -303,7 +291,7 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
                           quant=self_quant)
     cross = wm.precompute_cross_attention(params, cfg, enc,
                                           quant=dcfg.kv_quant)
-    if wm.resolve_step_attn("auto") == "fused":
+    if wm.resolve_step_attn(dcfg.step_attn) == "fused":
         # pad the time axis for the fused kernel ONCE, outside the loop
         cross = wm.pad_cross_time(cross)
     # Weights cast to the compute dtype ONCE, outside the loop; otherwise
@@ -362,7 +350,8 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         i = cache["index"]
         tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
         hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
-                                              step_params=step_params)
+                                              step_params=step_params,
+                                              attn_impl=dcfg.step_attn)
         hiddens = jax.lax.dynamic_update_slice(
             hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
 
@@ -416,21 +405,17 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     tokens, hiddens, cache, finished, key, seen = jax.lax.while_loop(
         cond, body, (tokens, hiddens, cache, finished, key, seen))
 
-    # If a row never finished, feed the final token once more so its hidden
-    # state exists for pooling.
-    def finish_tail(args):
-        tokens, hiddens, cache = args
-        i = cache["index"]
-        tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
-                                              step_params=step_params)
-        hiddens = jax.lax.dynamic_update_slice(
-            hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
-        return tokens, hiddens, cache
-
-    tokens, hiddens, cache = jax.lax.cond(
-        cache["index"] < L, finish_tail, lambda a: a,
-        (tokens, hiddens, cache))
+    # Feed the final token once more so the hidden state for the last
+    # written position exists for pooling. This always runs: the while
+    # cond caps index at L-1 on every exit path, so there is no
+    # "buffer already full" case to branch on.
+    i = cache["index"]
+    tok = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
+    hidden, cache = wm.apply_decoder_step(params, cfg, tok, cache, cross,
+                                          step_params=step_params,
+                                          attn_impl=dcfg.step_attn)
+    hiddens = jax.lax.dynamic_update_slice(
+        hiddens, hidden[:, None, :].astype(hiddens.dtype), (0, i, 0))
 
     positions = jnp.arange(L)[None, :]
     is_eos = (tokens == cfg.eos_token_id) & (positions >= p_len)
@@ -495,8 +480,13 @@ def generate_with_fallback(params: dict, cfg: WhisperConfig,
     while bucket < len(flagged):
         bucket *= 2
     bucket = min(bucket, batch)
-    # pad the index list by repeating the first flagged row; padded results
-    # scatter onto the same destination as the real row (identical values)
+    # pad the index list by repeating the first flagged row — for the
+    # DECODE shape only. The pad rows are independent temperature samples
+    # of the same input (per-row Gumbel noise), so they must NOT be
+    # scattered: duplicate scatter indices with differing updates pick an
+    # implementation-defined winner per output array, which could mix
+    # tokens from one sample with lengths from another. Only the first
+    # len(flagged) rows (exactly one per flagged index) merge back.
     idx = np.asarray(
         (flagged + [flagged[0]] * (bucket - len(flagged)))[:bucket],
         np.int32)
@@ -504,7 +494,8 @@ def generate_with_fallback(params: dict, cfg: WhisperConfig,
     resampled = generate(params, cfg, hot, jnp.take(enc, idx, axis=0),
                          prompt=prompt, suppress_ids=suppress_ids,
                          rng=rng if rng is not None else jax.random.PRNGKey(0))
+    n_fl = len(flagged)
     merged = dict(out)
     for k in ("tokens", "hiddens", "lengths"):
-        merged[k] = out[k].at[idx].set(resampled[k])
+        merged[k] = out[k].at[idx[:n_fl]].set(resampled[k][:n_fl])
     return merged

@@ -353,11 +353,12 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
 
 def resolve_step_attn(attn_impl: str) -> str:
     """"auto" -> the fused Pallas kernel on TPU, XLA elsewhere.
-    ATX_DECODE_ATTN overrides (perf A/B without a code edit)."""
-    import os
-    env = os.environ.get("ATX_DECODE_ATTN")
-    if env:
-        return env
+
+    A/B this via DecodeConfig.step_attn, NOT an env var: the choice
+    changes the traced program, and an env read here would not be part of
+    the jit cache key — flipping it between calls with identical static
+    args silently reuses the first-compiled program (CLAUDE.md "A/B
+    variants MUST occupy distinct jit cache entries")."""
     if attn_impl == "auto":
         return "fused" if jax.default_backend() == "tpu" else "xla"
     return attn_impl

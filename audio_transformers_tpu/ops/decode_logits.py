@@ -137,6 +137,11 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
     use_ban = ban is not None
     if use_seen and penalty == 1.0:
         raise ValueError("seen mask given but penalty is 1.0")
+    if penalty != 1.0 and not use_seen:
+        # the inverse misuse must be loud too: silently skipping the
+        # penalty would return tokens that diverge from the XLA chain
+        # this kernel claims parity with
+        raise ValueError("penalty != 1.0 requires the seen mask")
     block_b = min(block_b, _round_up(b, 8))
     b_pad = _round_up(b, block_b)
 

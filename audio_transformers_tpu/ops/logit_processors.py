@@ -44,10 +44,20 @@ def suppress_tokens_at(logits: jax.Array, token_ids: Sequence[int],
     return jnp.where(pos == at_pos, suppressed, logits)
 
 
-def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
-                      vocab: int) -> jax.Array:
-    """(B, V) bool: tokens that would complete an n-gram already present in
-    tokens[:, :pos]. `tokens` is the fixed-size buffer (B, L)."""
+def ngram_window_match(tokens: jax.Array, pos: jax.Array, n: int):
+    """Shared no-repeat-ngram window-matching core. Every consumer of the
+    rule (this module's mask, the decode loop's scatter targets, the
+    fused kernel's int8 ban mask) builds on THIS function — their
+    token-parity proofs depend on identical window selection, so the
+    match logic must exist exactly once.
+
+    Returns (flag, cont, starts) over the (B, L) buffer:
+      flag   (B, W) bool — history windows whose (n-1)-gram equals the
+             suffix ending at pos-1, lying fully inside tokens[:, :pos],
+             and with a full (n-1)-gram of history available (pos >= n)
+      cont   (B, W) int  — each window's continuation token id
+      starts (W,)   int  — window-start iota (for top-K compaction)
+    """
     b, length = tokens.shape
     # last (n-1)-gram ending at pos-1
     last = jax.lax.dynamic_slice(
@@ -59,13 +69,21 @@ def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
     starts = jnp.arange(num_windows)
     # window fully inside history: start + n - 1 < pos
     valid = (starts[None, :] + (n - 1)) < pos
+    flag = match & valid & (pos >= n)
     cont = tokens[:, n - 1: n - 1 + num_windows]  # continuation tokens
+    return flag, cont, starts
+
+
+def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
+                      vocab: int) -> jax.Array:
+    """(B, V) bool: tokens that would complete an n-gram already present in
+    tokens[:, :pos]. `tokens` is the fixed-size buffer (B, L)."""
+    b = tokens.shape[0]
+    flag, cont, _ = ngram_window_match(tokens, pos, n)
     # bool scatter: 4x less HBM traffic than an fp32 (B, V) buffer — the
     # processor chain runs inside the decode loop every step
-    banned = jnp.zeros((b, vocab), bool).at[
-        jnp.arange(b)[:, None], cont].max(match & valid)
-    active = pos >= n  # need a full (n-1)-gram of history
-    return active & banned
+    return jnp.zeros((b, vocab), bool).at[
+        jnp.arange(b)[:, None], cont].max(flag)
 
 
 def no_repeat_ngram(logits: jax.Array, tokens: jax.Array, pos: jax.Array,

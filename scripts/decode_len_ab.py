@@ -63,9 +63,9 @@ def main(argv=None):
                    .astype(compute))(waveform)
     enc0 = wm.encode_jit(params["whisper"], w, mel0, attn_impl="auto")
 
-    # (name, dcfg kwargs, max_len) — the selfoff variant flips an env knob
-    # read at trace time, so it gets max_len+1 to force its own program
-    # (identical static args would silently reuse the first compile).
+    # (name, dcfg kwargs, max_len) — the selfoff variant disables self-KV
+    # quantization via DecodeConfig.self_kv_min, which is part of the jit
+    # cache key (hashable static arg), so it gets its own program.
     variants = [
         ("noproc_tiny", dict(kv_quant="none"), L_TINY),
         ("pen_tiny", dict(kv_quant="none", repetition_penalty=1.15),
@@ -84,14 +84,11 @@ def main(argv=None):
         ("i8_full", dict(kv_quant="int8", repetition_penalty=1.15,
                          no_repeat_ngram_size=3), L),
         ("i8_full_selfoff", dict(kv_quant="int8", repetition_penalty=1.15,
-                                 no_repeat_ngram_size=3), L + 1),
+                                 no_repeat_ngram_size=3,
+                                 self_kv_min=10 ** 9), L),
     ]
 
     def timed(name, kwargs, max_len):
-        if name.endswith("selfoff"):
-            os.environ["ATX_SELF_KV_MIN"] = "9999"
-        else:
-            os.environ.pop("ATX_SELF_KV_MIN", None)
         dcfg = DecodeConfig(max_new_tokens=max_len, **kwargs)
         prompt = wdecode.build_prompt(w, dcfg)
         out = wdecode.generate(params["whisper"], w, dcfg, enc0,

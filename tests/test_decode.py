@@ -281,6 +281,41 @@ class TestTemperatureFallback:
             np.testing.assert_array_equal(np.asarray(out["tokens"][b]),
                                           np.asarray(greedy["tokens"][b]))
 
+    def test_bucket_pad_rows_never_leak_into_the_merge(self, hf_pair):
+        """3 flagged rows bucket to 4; the pad slot repeats the first
+        flagged row but is an INDEPENDENT temperature sample of it — only
+        resampled rows 0..2 may merge back (duplicate scatter indices
+        with differing updates would mix fields between samples)."""
+        _, cfg, params = hf_pair
+        enc = self._enc(cfg, params, batch=5)
+        dcfg = DecodeConfig(max_new_tokens=12,
+                            compression_ratio_threshold=2.4)
+
+        class FlagThree:
+            def __init__(self):
+                self.n = 0
+
+            def decode(self, ids):  # flag rows 0, 2, 4
+                self.n += 1
+                return ("ha ha ha " * 60 if self.n in (1, 3, 5)
+                        else f"clean text {self.n} 9q3z")
+
+        rng = jax.random.PRNGKey(7)
+        out = wdecode.generate_with_fallback(
+            params, cfg, dcfg, enc, tokenizer=FlagThree(), rng=rng)
+        # reproduce the fallback's exact bucketed sampling decode:
+        # idx = [0, 2, 4, 0] (pad repeats the first flagged row)
+        idx = jnp.asarray([0, 2, 4, 0], jnp.int32)
+        hot = wdecode.generate(params, cfg, dcfg.replace(temperature=0.7),
+                               jnp.take(enc, idx, axis=0), rng=rng)
+        for slot, row in ((0, 0), (1, 2), (2, 4)):
+            np.testing.assert_array_equal(
+                np.asarray(out["tokens"][row]),
+                np.asarray(hot["tokens"][slot]),
+                err_msg=f"row {row} must come from bucket slot {slot}, "
+                        f"never the pad slot")
+            assert int(out["lengths"][row]) == int(hot["lengths"][slot])
+
     def test_no_threshold_is_plain_greedy(self, hf_pair):
         _, cfg, params = hf_pair
         enc = self._enc(cfg, params)
