@@ -139,21 +139,28 @@ class PrefetchPool:
         if not self._pool:
             raise OSError("adc_pool_create failed")
 
+    def _handle(self):
+        # after close() the pool pointer is NULL; passing it through
+        # ctypes would segfault the interpreter instead of raising
+        if not self._pool:
+            raise ValueError("pool is closed")
+        return self._pool
+
     def submit(self, path: str, tag: int = 0) -> bool:
         return self._lib.adc_pool_submit(
-            self._pool, path.encode(), tag) == 0
+            self._handle(), path.encode(), tag) == 0
 
     def pop(self) -> Tuple[np.ndarray, int, bool]:
         out = np.empty(self.target_len, np.float32)
         tag = ctypes.c_int64(0)
-        rc = self._lib.adc_pool_pop(self._pool, _fptr(out),
+        rc = self._lib.adc_pool_pop(self._handle(), _fptr(out),
                                     ctypes.byref(tag))
         if rc == -2:
             raise IndexError("pool empty")
         return out, int(tag.value), rc == 0
 
     def pending(self) -> int:
-        return self._lib.adc_pool_pending(self._pool)
+        return self._lib.adc_pool_pending(self._handle())
 
     def close(self):
         if self._pool:

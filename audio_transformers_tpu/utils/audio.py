@@ -69,65 +69,91 @@ def preprocess_clip(audio: np.ndarray, orig_sr: int, *, target_sr: int,
 # ---------------------------------------------------------------------------
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a PCM wav file -> (float32 mono-or-multichannel array, sr)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+def _pcm_to_float(raw: bytes, width: int) -> np.ndarray:
+    """Interleaved little-endian PCM bytes -> float32 in [-1, 1). The ONE
+    place wav sample-width conversion lives (read_wav and
+    decode_audio_bytes both delegate here)."""
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif width == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise ValueError(f"unsupported sample width {width}")
-    if ch > 1:
-        data = data.reshape(-1, ch).T
-    return data, sr
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) \
+            / 2147483648.0
+    if width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (b[:, 0].astype(np.int32)
+             | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        x = (x ^ 0x800000) - 0x800000  # sign-extend 24-bit
+        return x.astype(np.float32) / 8388608.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    raise ValueError(f"unsupported wav sample width {width}")
 
 
-def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an in-memory audio container -> (float32 audio, sr).
-
-    Supported: PCM wav (stdlib) and FLAC (first-party native decoder,
-    native/audiodec/flac.cpp — the reference gets flac through
-    librosa/libsndfile, whisper_finetune/streamlit_app.py:64-68). Raises
-    ValueError with the sniffed container name for anything else, so
-    serving surfaces can report a clear 415 instead of a wave-module
-    crash."""
-    if data[:4] == b"RIFF":
-        import io
+def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> (float32 audio, sr). Non-PCM encodings the
+    stdlib refuses (e.g. IEEE float, fmt=3) fall back to the native
+    decoder when built; every failure surfaces as ValueError so serving
+    can map it to a clean 4xx instead of a wave-module traceback."""
+    import io
+    try:
         with wave.open(io.BytesIO(data), "rb") as w:
             sr = w.getframerate()
             ch = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
-        if width == 2:
-            a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        elif width == 4:
-            a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2 ** 31
-        elif width == 1:
-            a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
-                 - 128.0) / 128.0
-        else:
-            raise ValueError(f"unsupported wav sample width {width}")
-        if ch > 1:
-            a = a.reshape(-1, ch).T
-        return a, sr
+    except wave.Error as e:
+        from audio_transformers_tpu.data import native_loader as nl
+        if nl.available():
+            return nl.decode_audio(data)
+        raise ValueError(f"unsupported wav encoding: {e}") from e
+    a = _pcm_to_float(raw, width)
+    if ch > 1:
+        a = a.reshape(-1, ch).T
+    return a, sr
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file -> (float32 mono-or-multichannel array, sr)."""
+    with open(path, "rb") as f:
+        return _decode_wav_bytes(f.read())
+
+
+def sniff_container(data: bytes) -> str:
+    """Best-effort container name from magic bytes (for error messages)."""
+    if data[:4] == b"RIFF":
+        return "wav" if data[8:12] == b"WAVE" else "riff"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                          b"\xff\xf2", b"\xff\xfa"):
+        return "mp3"
+    if data[:4] == b"OggS":
+        return "ogg"
+    if data[4:8] == b"ftyp":
+        return "m4a"
+    return "unknown"
+
+
+def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory audio container -> (float32 audio, sr).
+
+    Supported: wav (stdlib PCM widths 1/2/3/4; IEEE-float via the native
+    decoder) and FLAC (first-party native decoder,
+    native/audiodec/flac.cpp — the reference gets flac through
+    librosa/libsndfile, whisper_finetune/streamlit_app.py:64-68). Raises
+    ValueError with the sniffed container name for anything else, so
+    serving surfaces can report a clear 415 instead of a wave-module
+    crash."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav_bytes(data)
     if data[:4] == b"fLaC":
         from audio_transformers_tpu.data import native_loader as nl
         return nl.decode_flac(data)
-    sniffed = {b"ID3": "mp3", b"\xff\xfb": "mp3", b"\xff\xf3": "mp3",
-               b"OggS": "ogg"}.get(data[:3], None) \
-        or {b"OggS": "ogg"}.get(data[:4]) \
-        or ("m4a" if data[4:8] == b"ftyp" else "unknown")
     raise ValueError(
-        f"unsupported audio container ({sniffed}): only wav and flac "
-        f"decode natively in this build")
+        f"unsupported audio container ({sniff_container(data)}): only wav "
+        f"and flac decode natively in this build")
 
 
 def read_audio(path: str) -> tuple[np.ndarray, int]:

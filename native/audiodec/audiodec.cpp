@@ -38,7 +38,12 @@ int64_t adc_decode_wav(const uint8_t* data, size_t size, float* out,
         const uint8_t* hdr = data + pos;
         uint32_t chunk_size = rd_u32(hdr + 4);
         const uint8_t* body = hdr + 8;
-        if (!memcmp(hdr, "fmt ", 4) && chunk_size >= 16) {
+        size_t body_avail = size - (pos + 8);
+        /* the fmt fields are only read when the 16-byte body actually
+         * fits in the buffer — a truncated file whose fmt header sits at
+         * the end would otherwise read past it */
+        if (!memcmp(hdr, "fmt ", 4) && chunk_size >= 16 &&
+            body_avail >= 16) {
             fmt = rd_u16(body);
             channels = rd_u16(body + 2);
             rate = (int32_t)rd_u32(body + 4);
@@ -257,6 +262,31 @@ struct PoolResult {
     int ok;
 };
 
+/* Upper bound on the decoded (mono) sample count of a container, from its
+ * headers, so workers size decode buffers to the file instead of a fixed
+ * 115 MB (48000*600 floats) high-water mark per thread:
+ *   wav:  mono frames <= pcm bytes (>= 1 byte/sample/channel)
+ *   flac: STREAMINFO total_samples (36-bit); highly-compressed streams
+ *         can exceed their byte size many times over, so the header field
+ *         is the only safe bound (0 = unknown -> fall back to the cap)
+ * Everything is clamped to the legacy 10-minutes-at-48kHz cap, which
+ * remains the pool's documented truncation point for pathological input. */
+static int64_t decoded_len_bound(const uint8_t* data, size_t size) {
+    const int64_t cap = 48000ll * 600ll;
+    if (size >= 8 && !memcmp(data, "fLaC", 4)) {
+        /* STREAMINFO is the first metadata block when present */
+        if (size >= 4 + 4 + 34 && (data[4] & 0x7F) == 0) {
+            const uint8_t* b = data + 8;
+            int64_t total = ((int64_t)(b[13] & 0x0F) << 32)
+                            | ((int64_t)b[14] << 24) | ((int64_t)b[15] << 16)
+                            | ((int64_t)b[16] << 8) | (int64_t)b[17];
+            if (total > 0) return std::min(total, cap);
+        }
+        return cap;
+    }
+    return std::min((int64_t)size, cap);
+}
+
 struct adc_pool {
     int32_t target_rate;
     int64_t target_len;
@@ -270,6 +300,32 @@ struct adc_pool {
     int64_t next_submit = 0, next_pop = 0;
     bool shutdown = false;
     std::vector<std::thread> threads;
+
+    int decode_item(const std::vector<uint8_t>& file_buf,
+                    std::vector<float>& decode_buf,
+                    std::vector<float>& resamp_buf, PoolResult& res) {
+        int32_t rate = 0;
+        int64_t bound = decoded_len_bound(file_buf.data(), file_buf.size());
+        if (bound <= 0) return -1;
+        decode_buf.resize((size_t)bound);
+        int64_t n = adc_decode_audio(file_buf.data(), file_buf.size(),
+                                     decode_buf.data(),
+                                     (int64_t)decode_buf.size(), &rate);
+        if (n <= 0) return -1;
+        const float* src = decode_buf.data();
+        int64_t src_len = n;
+        if (rate != target_rate) {
+            resamp_buf.resize((size_t)adc_resample_out_len(
+                n, rate, target_rate));
+            src_len = adc_resample(decode_buf.data(), n, rate, target_rate,
+                                   resamp_buf.data(),
+                                   (int64_t)resamp_buf.size());
+            src = resamp_buf.data();
+        }
+        adc_pad_normalize(src, src_len, res.clip.data(), target_len,
+                          normalize);
+        return 0;
+    }
 
     void worker() {
         std::vector<uint8_t> file_buf;
@@ -288,38 +344,30 @@ struct adc_pool {
             res.ok = -1;
             res.clip.assign((size_t)target_len, 0.0f);
 
-            FILE* fp = fopen(item.path.c_str(), "rb");
-            if (fp) {
-                fseek(fp, 0, SEEK_END);
-                long fsize = ftell(fp);
-                fseek(fp, 0, SEEK_SET);
-                file_buf.resize((size_t)fsize);
-                if (fread(file_buf.data(), 1, (size_t)fsize, fp) ==
-                    (size_t)fsize) {
-                    int32_t rate = 0;
-                    /* generous decode capacity: 10 minutes at 48 kHz */
-                    decode_buf.resize(48000u * 600u);
-                    int64_t n = adc_decode_audio(
-                        file_buf.data(), file_buf.size(), decode_buf.data(),
-                        (int64_t)decode_buf.size(), &rate);
-                    if (n > 0) {
-                        const float* src = decode_buf.data();
-                        int64_t src_len = n;
-                        if (rate != target_rate) {
-                            resamp_buf.resize((size_t)adc_resample_out_len(
-                                n, rate, target_rate));
-                            src_len = adc_resample(decode_buf.data(), n, rate,
-                                                   target_rate,
-                                                   resamp_buf.data(),
-                                                   (int64_t)resamp_buf.size());
-                            src = resamp_buf.data();
+            /* The pool contract (audiodec.h): ONE bad row yields rc=-1
+             * with its tag, never a dead worker or a dead process. A
+             * directory path makes ftell report LONG_MAX (resize would
+             * throw bad_alloc, and an exception escaping this detached
+             * thread is std::terminate), so the size is validated and
+             * the whole item is wrapped. */
+            try {
+                FILE* fp = fopen(item.path.c_str(), "rb");
+                if (fp) {
+                    fseek(fp, 0, SEEK_END);
+                    long fsize = ftell(fp);
+                    fseek(fp, 0, SEEK_SET);
+                    if (fsize > 0 && fsize <= (1L << 30)) {
+                        file_buf.resize((size_t)fsize);
+                        if (fread(file_buf.data(), 1, (size_t)fsize, fp) ==
+                            (size_t)fsize) {
+                            res.ok = decode_item(file_buf, decode_buf,
+                                                 resamp_buf, res);
                         }
-                        adc_pad_normalize(src, src_len, res.clip.data(),
-                                          target_len, normalize);
-                        res.ok = 0;
                     }
+                    fclose(fp);
                 }
-                fclose(fp);
+            } catch (const std::exception&) {
+                res.ok = -1;
             }
             {
                 std::lock_guard<std::mutex> lk(mu);
@@ -357,11 +405,13 @@ int adc_pool_submit(adc_pool* p, const char* path, int64_t tag) {
 int adc_pool_pop(adc_pool* p, float* out, int64_t* tag_out) {
     std::unique_lock<std::mutex> lk(p->mu);
     if (p->next_pop >= p->next_submit) return -2;
-    int64_t seq = p->next_pop;
+    /* claim the seq BEFORE waiting: two concurrent pops must take
+     * distinct seqs, or the loser waits forever on a result the winner
+     * already consumed and erased */
+    int64_t seq = p->next_pop++;
     p->cv_done.wait(lk, [&] { return p->done.count(seq) > 0; });
     PoolResult res = std::move(p->done[seq]);
     p->done.erase(seq);
-    p->next_pop++;
     lk.unlock();
     memcpy(out, res.clip.data(), (size_t)p->target_len * sizeof(float));
     if (tag_out) *tag_out = res.tag;

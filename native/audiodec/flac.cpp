@@ -293,6 +293,7 @@ extern "C" int64_t adc_decode_flac(const uint8_t* data, size_t size,
         if (ss_code != 0 && kSampleSizes[ss_code]) bps = kSampleSizes[ss_code];
         br.read_bits(8);                    /* CRC-8 (not validated) */
 
+        if (ch_asgn > 10) return -1;  /* 11-15 reserved by the spec */
         int nch = ch_asgn < 8 ? (int)ch_asgn + 1 : 2;
         if (nch < 1 || nch > 8 || blocksize <= 0) return -1;
         ch.resize((size_t)nch);

@@ -137,3 +137,63 @@ class TestDispatchAndPython:
             # flac rows are exact; wav rows lose 1 LSB to write_wav's
             # 32767-scale re-quantization
             np.testing.assert_allclose(clip, ref, atol=1.1 / 32768.0)
+
+
+class TestHardenedPaths:
+    def test_reserved_channel_assignment_is_an_error(self):
+        """ch_asgn 11-15 are reserved by the FLAC spec — a corrupt header
+        must fail the decode, not silently produce 2-channel garbage."""
+        pcm = _pcm(0.5, seed=5)
+        data = bytearray(encode_flac(pcm, 16000))
+        # streaminfo block = 4 (magic) + 4 (hdr) + 34 = offset 42 for the
+        # first frame; ch_asgn is the upper nibble of frame byte 3
+        frame = 42
+        assert data[frame] == 0xFF and (data[frame + 1] & 0xFC) == 0xF8, \
+            "fixture layout changed; locate the frame sync first"
+        data[frame + 3] = (11 << 4) | (data[frame + 3] & 0x0F)
+        with pytest.raises(ValueError):
+            nl.decode_flac(bytes(data))
+
+    def test_float32_wav_decodes_via_native_fallback(self):
+        """fmt=3 (IEEE float) wavs: the stdlib wave module refuses them,
+        the RIFF branch falls back to the native decoder."""
+        import struct
+        samples = [0.5, -0.25, 0.125, -1.0]
+        raw = struct.pack("<%df" % len(samples), *samples)
+        payload = (b"RIFF" + (36 + len(raw)).to_bytes(4, "little") + b"WAVE"
+                   + b"fmt " + (16).to_bytes(4, "little")
+                   + struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+                   + b"data" + len(raw).to_bytes(4, "little") + raw)
+        a, sr = decode_audio_bytes(payload)
+        assert sr == 16000
+        np.testing.assert_allclose(a, samples, atol=1e-6)
+
+    def test_24bit_wav_decodes_in_pure_python(self, tmp_path):
+        import wave as w
+
+        p = os.path.join(tmp_path, "x24.wav")
+        f = w.open(p, "wb")
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(8000)
+        f.writeframes(b"\x00\x00\x40" + b"\x00\x00\xc0")  # +0.5, -0.5
+        f.close()
+        a, sr = read_audio(p)
+        assert sr == 8000
+        np.testing.assert_allclose(a, [0.5, -0.5], atol=1e-6)
+
+    def test_sniffing_names_real_containers(self):
+        from audio_transformers_tpu.utils.audio import sniff_container
+
+        assert sniff_container(b"\xff\xfb\x90\x00" + b"\x00" * 40) == "mp3"
+        assert sniff_container(b"ID3\x04" + b"\x00" * 40) == "mp3"
+        assert sniff_container(b"OggS" + b"\x00" * 40) == "ogg"
+        assert sniff_container(b"\x00\x00\x00 ftypM4A ") == "m4a"
+        # RIFF that is not WAVE (e.g. AVI) must not hit the wav parser
+        avi = b"RIFF\x00\x00\x00\x00AVI LIST" + b"\x00" * 20
+        assert sniff_container(avi) == "riff"
+        with pytest.raises(ValueError, match="unsupported audio"):
+            decode_audio_bytes(avi)
+        # a bare mp3 (no ID3 tag) errors with the right name
+        with pytest.raises(ValueError, match="mp3"):
+            decode_audio_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 40)

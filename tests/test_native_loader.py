@@ -109,3 +109,78 @@ def test_local_source_native_matches_python(tmp_path):
         a, b = nat(i), py(i)
         assert a["label"] == b["label"]
         np.testing.assert_allclose(a["waveform"], b["waveform"], atol=2e-3)
+
+
+def test_truncated_fmt_chunk_is_a_clean_error():
+    """A RIFF buffer whose fmt header sits at EOF (body missing) must
+    error, not read past the buffer (ASan-confirmed OOB before the
+    bounds check landed)."""
+    evil = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+            + b"JUNK" + (16).to_bytes(4, "little") + b"\x00" * 16
+            + b"fmt " + (16).to_bytes(4, "little"))  # no body
+    with pytest.raises(ValueError):
+        nl.decode_wav(evil)
+
+
+def test_pool_survives_directory_and_missing_paths(tmp_path):
+    """One bad row delivers rc=-1 with its tag (audiodec.h contract) —
+    a directory path used to abort the whole process via an exception
+    escaping the worker thread (std::terminate)."""
+    good = str(tmp_path / "ok.wav")
+    write_wav(good, synth_clip(0.5, 16000, seed=1), 16000)
+    with nl.PrefetchPool(num_threads=2, target_rate=16000,
+                         target_len=8000) as pool:
+        pool.submit(str(tmp_path), tag=0)          # a directory
+        pool.submit(str(tmp_path / "nope.wav"), 1)  # missing
+        pool.submit(good, tag=2)
+        results = {}
+        for _ in range(3):
+            clip, tag, ok = pool.pop()
+            results[tag] = ok
+    assert results == {0: False, 1: False, 2: True}
+
+
+def test_closed_pool_raises_instead_of_segfaulting():
+    pool = nl.PrefetchPool(num_threads=1, target_rate=16000,
+                           target_len=100)
+    pool.close()
+    with pytest.raises(ValueError, match="closed"):
+        pool.pending()
+    with pytest.raises(ValueError, match="closed"):
+        pool.submit("/tmp/x.wav")
+    with pytest.raises(ValueError, match="closed"):
+        pool.pop()
+    pool.close()  # idempotent
+
+
+def test_pool_multi_consumer_pops_are_distinct(tmp_path):
+    """Two threads popping concurrently must claim distinct seqs (the
+    loser used to wait forever on an already-consumed result)."""
+    import threading
+
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"m{i}.wav")
+        write_wav(p, synth_clip(0.3, 16000, seed=i), 16000)
+        paths.append(p)
+    with nl.PrefetchPool(num_threads=2, target_rate=16000,
+                         target_len=4800) as pool:
+        for i, p in enumerate(paths):
+            assert pool.submit(p, tag=i)
+        seen = []
+        lock = threading.Lock()
+
+        def consume(k):
+            for _ in range(k):
+                _, tag, ok = pool.pop()
+                with lock:
+                    seen.append((tag, ok))
+
+        ts = [threading.Thread(target=consume, args=(4,)) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+            assert not t.is_alive(), "pop deadlocked"
+    assert sorted(t for t, _ in seen) == list(range(8))
+    assert all(ok for _, ok in seen)
