@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from audio_transformers_tpu.data.loader import Batcher
+from audio_transformers_tpu.data.loader import Batcher, Subset
 from audio_transformers_tpu.data.splits import stratified_split
 from audio_transformers_tpu.data.synthetic import SyntheticSeq2Seq
 from audio_transformers_tpu.data.tokenizer import Tokenizer
@@ -175,22 +175,6 @@ class SyntheticExpresso:
                 _SubsetSource(self, te), self.style_to_idx)
 
 
-class _SubsetSource:
-    def __init__(self, base, indices: List[int]):
-        self.base = base
-        self.indices = indices
-
-    @property
-    def num_samples(self) -> int:
-        return len(self.indices)
-
-    def __len__(self) -> int:
-        return len(self.indices)
-
-    def __call__(self, i: int):
-        return self.base(int(self.indices[i]))
-
-    def batcher(self, batch_size: int, seed: int = 42,
-                num_workers: int = 0) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed,
-                       num_workers=num_workers)
+# shared index-remapping view (data/loader.py); kept under the old
+# private name for local readers
+_SubsetSource = Subset

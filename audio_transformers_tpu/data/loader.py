@@ -148,3 +148,36 @@ class Batcher:
     @property
     def steps_per_epoch(self) -> int:
         return self.num_samples // self.batch_size
+
+
+class Subset:
+    """Index-remapped view over a sample source (the ONE subset wrapper —
+    urbansound and expresso splits both use it). Forwards `prefetch_iter`
+    when the base source has one, so native-pool prefetch survives
+    subsetting."""
+
+    def __init__(self, base, indices: Sequence[int]):
+        self.base = base
+        self.indices = indices
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __call__(self, i: int):
+        return self.base(int(self.indices[i]))
+
+    def prefetch_iter(self, indices, *, num_threads: int = 4):
+        base_fn = getattr(self.base, "prefetch_iter", None)
+        if base_fn is None:
+            return None
+        return base_fn([int(self.indices[i]) for i in indices],
+                       num_threads=num_threads)
+
+    def batcher(self, batch_size: int, seed: int = 42,
+                num_workers: int = 0) -> "Batcher":
+        return Batcher(self, self.num_samples, batch_size, seed=seed,
+                       num_workers=num_workers)

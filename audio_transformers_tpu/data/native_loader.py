@@ -13,7 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -84,9 +84,31 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def _decode(fname: str, data: bytes, max_samples: int
+_MAX_SAMPLES_CAP = 48000 * 600  # 10 min @ 48 kHz, the documented cutoff
+
+
+def _bound_samples(data: bytes) -> int:
+    """Decoded-length bound from the container headers, so the scratch
+    buffer is proportional to the clip instead of a fixed 110 MB
+    (mirrors decoded_len_bound in native/audiodec/audiodec.cpp):
+      wav:  mono samples <= byte count (>= 1 byte per sample)
+      flac: STREAMINFO total_samples (highly-compressed streams exceed
+            their byte size; 0 = unknown -> full cap)"""
+    if data[:4] == b"fLaC":
+        if len(data) >= 42 and (data[4] & 0x7F) == 0:
+            b = data[8:]
+            total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+            if total > 0:
+                return min(total, _MAX_SAMPLES_CAP)
+        return _MAX_SAMPLES_CAP
+    return min(max(len(data), 1), _MAX_SAMPLES_CAP)
+
+
+def _decode(fname: str, data: bytes, max_samples: Optional[int]
             ) -> Tuple[np.ndarray, int]:
     lib = _load()
+    if max_samples is None:
+        max_samples = _bound_samples(data)
     out = np.empty(max_samples, np.float32)
     sr = ctypes.c_int32(0)
     n = getattr(lib, fname)(data, len(data), _fptr(out), max_samples,
@@ -96,18 +118,18 @@ def _decode(fname: str, data: bytes, max_samples: int
     return out[:n].copy(), int(sr.value)
 
 
-def decode_wav(data: bytes, max_samples: int = 48000 * 600
+def decode_wav(data: bytes, max_samples: Optional[int] = None
                ) -> Tuple[np.ndarray, int]:
     return _decode("adc_decode_wav", data, max_samples)
 
 
-def decode_flac(data: bytes, max_samples: int = 48000 * 600
+def decode_flac(data: bytes, max_samples: Optional[int] = None
                 ) -> Tuple[np.ndarray, int]:
     """First-party native FLAC decode -> (float32 mono, sample_rate)."""
     return _decode("adc_decode_flac", data, max_samples)
 
 
-def decode_audio(data: bytes, max_samples: int = 48000 * 600
+def decode_audio(data: bytes, max_samples: Optional[int] = None
                  ) -> Tuple[np.ndarray, int]:
     """Container-sniffing decode (RIFF wav or fLaC) -> mono float32."""
     return _decode("adc_decode_audio", data, max_samples)

@@ -32,15 +32,25 @@ def stratified_split(labels: Sequence, *, test_size: float = 0.1,
         idxs = np.array(by_class[lab])
         rng.shuffle(idxs)
         n = len(idxs)
-        n_test = max(1, int(n * test_size))
-        n_val = max(1, int(n * val_size))
-        n_train = n - n_test - n_val
-        if n_train <= 0:
-            n_train = 1
-            if n_val > 1:
-                n_val -= 1
-            elif n_test > 1:
-                n_test -= 1
+        if n < 3:
+            # the >=1-per-split guarantee needs 3 samples; degrade loudly
+            # (train first, then val) rather than silently emitting a
+            # split with zero samples of this class
+            import warnings
+            warnings.warn(
+                f"class {lab!r} has only {n} sample(s); cannot place >=1 "
+                f"in every split — filling train, then val", stacklevel=2)
+            n_train, n_val = 1, n - 1
+        else:
+            n_test = max(1, int(n * test_size))
+            n_val = max(1, int(n * val_size))
+            n_train = n - n_test - n_val
+            while n_train < 1:  # shrink the larger split, keep each >= 1
+                if n_val >= n_test and n_val > 1:
+                    n_val -= 1
+                elif n_test > 1:
+                    n_test -= 1
+                n_train = n - n_test - n_val
         train_idx.extend(idxs[:n_train].tolist())
         val_idx.extend(idxs[n_train:n_train + n_val].tolist())
         test_idx.extend(idxs[n_train + n_val:].tolist())

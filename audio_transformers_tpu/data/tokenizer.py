@@ -63,7 +63,13 @@ class WhisperTextTokenizer:
             name_or_path, language=language, task=task)
         self.pad_token_id = self._tok.pad_token_id
         self.eos_token_id = self._tok.eos_token_id
-        self.decoder_start_token_id = 50258
+        # derive from the vocab, never hardcode: <|startoftranscript|> is
+        # 50258 in the multilingual vocab but 50257 in the English-only
+        # (.en) vocab — a hardcoded id would make training labels disagree
+        # with the config-driven decode prompt (models/whisper/load.py
+        # derives the same id from the HF config)
+        self.decoder_start_token_id = self._tok.convert_tokens_to_ids(
+            "<|startoftranscript|>")
         self.vocab_size = len(self._tok)
 
     def encode(self, text: str) -> List[int]:

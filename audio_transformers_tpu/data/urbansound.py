@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from audio_transformers_tpu.data.loader import Batcher
+from audio_transformers_tpu.data.loader import Batcher, Subset
 from audio_transformers_tpu.data.splits import random_split
 from audio_transformers_tpu.utils.audio import preprocess_clip, read_audio
 
@@ -99,16 +99,14 @@ class UrbanSoundLocalSource:
         path = os.path.join(self.data_dir, name)
         if self.use_native:
             from audio_transformers_tpu.data import native_loader as nl
+            from audio_transformers_tpu.utils.audio import (pad_or_trim,
+                                                            peak_normalize)
             with open(path, "rb") as f:
                 audio, sr = nl.decode_wav(f.read())
             if sr != self.sample_rate:
                 audio = nl.resample(audio, sr, self.sample_rate)
-            wav = np.zeros(int(self.sample_rate * self.duration), np.float32)
-            n = min(len(audio), len(wav))
-            wav[:n] = audio[:n]
-            peak = np.abs(wav).max()
-            if peak > 0:
-                wav /= peak
+            wav = peak_normalize(pad_or_trim(
+                audio, int(self.sample_rate * self.duration)))
         else:
             audio, sr = read_audio(path)
             wav = preprocess_clip(audio, sr, target_sr=self.sample_rate,
@@ -127,55 +125,27 @@ class UrbanSoundLocalSource:
         return self._native_stream(list(indices), num_threads)
 
     def _native_stream(self, indices, num_threads: int):
+        # iter_clips owns the deadlock-sensitive submit-until-full /
+        # pop-one pump (ONE implementation, native_loader.py); it yields
+        # in submission order with tag = position in `paths`
         from audio_transformers_tpu.data import native_loader as nl
 
-        target_len = int(self.sample_rate * self.duration)
-        with nl.PrefetchPool(num_threads=num_threads,
-                             target_rate=self.sample_rate,
-                             target_len=target_len, normalize=True) as pool:
-            n = len(indices)
-            submitted = popped = 0
-            while popped < n:
-                while submitted < n:
-                    i = int(indices[submitted])
-                    path = os.path.join(self.data_dir, self.rows[i][0])
-                    if not pool.submit(path, i):
-                        break  # queue full; drain one first
-                    submitted += 1
-                clip, tag, ok = pool.pop()
-                popped += 1
-                if ok:
-                    yield {"waveform": clip,
-                           "label": np.int32(self.rows[tag][1])}
-                else:  # unreadable/corrupt file: python path decides
-                    yield self(tag)
+        paths = [os.path.join(self.data_dir, self.rows[int(i)][0])
+                 for i in indices]
+        for k, clip, ok in nl.iter_clips(
+                paths, target_rate=self.sample_rate,
+                target_len=int(self.sample_rate * self.duration),
+                num_threads=num_threads):
+            i = int(indices[k])
+            if ok:
+                yield {"waveform": clip, "label": np.int32(self.rows[i][1])}
+            else:  # unreadable/corrupt file: python path decides
+                yield self(i)
 
 
-class _Subset:
-    def __init__(self, base, indices):
-        self.base, self.indices = base, indices
-
-    @property
-    def num_samples(self):
-        return len(self.indices)
-
-    def __len__(self):
-        return len(self.indices)
-
-    def __call__(self, i: int):
-        return self.base(int(self.indices[i]))
-
-    def prefetch_iter(self, indices, *, num_threads: int = 4):
-        base_fn = getattr(self.base, "prefetch_iter", None)
-        if base_fn is None:
-            return None
-        return base_fn([int(self.indices[i]) for i in indices],
-                       num_threads=num_threads)
-
-    def batcher(self, batch_size: int, seed: int = 42,
-                num_workers: int = 0) -> Batcher:
-        return Batcher(self, self.num_samples, batch_size, seed=seed,
-                       num_workers=num_workers)
+# shared index-remapping view (forwards native prefetch); kept under the
+# old private name for local readers
+_Subset = Subset
 
 
 def get_batchers(source, *, batch_size: int = 32, val_split: float = 0.2,

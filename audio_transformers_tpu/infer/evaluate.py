@@ -75,8 +75,11 @@ def evaluate_sequence_level(params, cfg: EmotionWhisperConfig,
     for batch in batcher.eval_batches():
         out = _decode_batch(params, cfg, mel_cfg, dcfg, batch["waveform"],
                             prompt, compute_dtype, tokenizer=tokenizer)
+        # unmasked mean: matches both the head's training-time pooling
+        # (forward_train pooling="all") and the reference eval's mean over
+        # the full generated sequence (evaluate_simple.py:141-143)
         emotion_logits = emo.sequence_emotion_from_hiddens(
-            params, out["hiddens"], out["lengths"])
+            params, out["hiddens"])
         preds = np.asarray(jnp.argmax(emotion_logits, -1))
         tokens = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])

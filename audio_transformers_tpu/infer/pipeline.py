@@ -208,6 +208,10 @@ class EmotionWhisperPipeline:
         bucket = 1
         while bucket < min(n, max_batch):
             bucket *= 2
+        # the power-of-two growth can overshoot a non-power-of-two cap
+        # (n=100, max_batch=24 -> 32); the cap is a device-memory bound
+        # and must hold exactly
+        bucket = min(bucket, max_batch)
         texts: List[str] = []
         probs_rows = []
         for start in range(0, n, bucket):
@@ -215,8 +219,12 @@ class EmotionWhisperPipeline:
             group = np.zeros((bucket, self._window), np.float32)
             group[: len(idxs)] = windows[idxs[0]: idxs[-1] + 1]
             out = self._decode(group, dcfg)
+            # unmasked mean (lengths=None): the emotion head is TRAINED on
+            # the reference's all-positions pooling (emo.forward_train
+            # pooling="all", reference model.py:96) — inference must apply
+            # the same feature form, not a masked mean the head never saw
             logits = emo.sequence_emotion_from_hiddens(
-                self.params, out["hiddens"], out["lengths"])
+                self.params, out["hiddens"])
             probs = np.asarray(jax.nn.softmax(logits, axis=-1),
                                np.float32)
             tokens = np.asarray(out["tokens"])

@@ -139,10 +139,21 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
         if plateau is not None and meta:
             plateau.best = meta.get("plateau_best", plateau.best)
             plateau.lr = meta.get("plateau_lr", plateau.lr)
+            # without bad_epochs a resume near the patience limit delays
+            # the LR reduction by up to `patience` extra epochs vs the
+            # uninterrupted run
+            plateau.bad_epochs = meta.get("plateau_bad_epochs",
+                                          plateau.bad_epochs)
+            opt_state = set_learning_rate(opt_state, plateau.lr)
         print(f"[train] resumed from epoch {start_epoch} (step {step})")
 
     timer = StepTimer()
     for epoch in range(start_epoch, train_cfg.num_epochs):
+        # per-epoch key derived from (seed, epoch), NOT carried across
+        # epochs: a resumed run replays the exact dropout/spec-augment
+        # stream the uninterrupted run would have used
+        rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed),
+                                 epoch + 1)
         # device-side metric accumulation; one host fetch per epoch
         timer.reset()
         step_metrics = []
@@ -207,7 +218,8 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
                 metadata={"epoch": epoch + 1,
                           "best_val_acc": best_val_acc,
                           **({"plateau_best": plateau.best,
-                              "plateau_lr": plateau.lr}
+                              "plateau_lr": plateau.lr,
+                              "plateau_bad_epochs": plateau.bad_epochs}
                              if plateau is not None else {})})
 
     if ckpt is not None:

@@ -78,8 +78,13 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     attn_impl = train_cfg.attn_impl
     if attn_impl == "auto":
         attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    # eval is forward-only, where XLA attention beats the flash kernel
+    # (flash's win is the fused fwd+bwd; CLAUDE.md conventions) — only an
+    # explicit non-auto attn_impl overrides this
+    eval_attn = train_cfg.attn_impl if train_cfg.attn_impl != "auto" \
+        else "xla"
 
-    def _forward(params, batch, *, remat, rng=None):
+    def _forward(params, batch, *, remat, rng=None, attn=None):
         mel = log_mel(batch["waveform"], mel_cfg,
                       precision=mel_precision_for(compute_dtype)
                       ).astype(compute_dtype)
@@ -88,7 +93,7 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
             mel = spec_augment(rng, mel)
         dec_in = batch["labels"][:, :-1]
         return emo.forward_train(params, cfg, mel, dec_in, remat=remat,
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn or attn_impl)
 
     def _loss(params, batch, rng=None):
         logits, emotion_logits = _forward(params, batch,
@@ -121,7 +126,8 @@ def make_steps(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
         the final eval batch must not bias val loss — it drives
         best-checkpoint selection. The aggregation to means happens over
         true sample/token counts in `evaluate`."""
-        logits, emotion_logits = _forward(params, batch, remat=False)
+        logits, emotion_logits = _forward(params, batch, remat=False,
+                                          attn=eval_attn)
         targets = batch["labels"][:, 1:]
         valid = batch["valid"].astype(jnp.float32)
         tok_mask = (targets != pad).astype(jnp.float32) * valid[:, None]
@@ -209,6 +215,11 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
 
     timer = StepTimer()
     for epoch in range(start_epoch, train_cfg.num_epochs):
+        # per-epoch key derived from (seed, epoch), NOT carried across
+        # epochs: a resumed run replays the exact spec-augment stream the
+        # uninterrupted run would have used
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(train_cfg.seed + 1), epoch + 1)
         # accumulate metrics as device scalars; fetch ONCE per epoch (a
         # per-step float() would force a host sync every step)
         timer.reset()

@@ -164,8 +164,7 @@ def main():
         enc = wm.encode(params["whisper"], w, mel, attn_impl="auto")
         out = wdecode.generate(params["whisper"], w, dcfg, enc,
                                prompt=prompt)
-        emotion = emo.sequence_emotion_from_hiddens(
-            params, out["hiddens"], out["lengths"])
+        emotion = emo.sequence_emotion_from_hiddens(params, out["hiddens"])
         return out["tokens"], out["lengths"], emotion
 
     def chained_pipeline_s(kv_quant: str) -> float:

@@ -44,6 +44,30 @@ class TestSplits:
         assert a == b
         assert len(a[1]) == 20 and len(a[0]) == 80
 
+    def test_stratified_three_samples_cover_every_split(self):
+        # exactly 3 of a class is the minimum for the >=1-per-split
+        # guarantee; the old fixup left test empty for tiny classes
+        labels = ["rare"] * 3 + ["common"] * 40
+        tr, va, te = stratified_split(labels, seed=0)
+        assert sorted(tr + va + te) == sorted(range(43))
+        for split in (tr, va, te):
+            assert {labels[i] for i in split} == {"rare", "common"}
+
+    def test_stratified_tiny_class_degrades_loudly(self):
+        import warnings
+
+        labels = ["one"] * 1 + ["two"] * 2 + ["big"] * 30
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            tr, va, te = stratified_split(labels, seed=0)
+        assert sorted(tr + va + te) == sorted(range(33))
+        # degradation order: train first, then val — and it WARNS
+        assert labels.index("one") in [i for i in tr]
+        two_idxs = [i for i, l in enumerate(labels) if l == "two"]
+        assert any(i in tr for i in two_idxs)
+        assert any(i in va for i in two_idxs)
+        assert sum("sample(s)" in str(x.message) for x in w) == 2
+
 
 class TestTokenizer:
     def test_byte_roundtrip(self):
@@ -218,6 +242,38 @@ class TestEvalAndInference:
         seg = out["segments"][0]
         assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
         assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
+
+    def test_analyze_windows_bucket_never_exceeds_max_batch(self, setup):
+        """max_batch is a device-memory bound — the power-of-two bucket
+        growth must not overshoot a non-power-of-two cap (n=7, cap 3
+        used to run batch 4)."""
+        import numpy as np
+
+        from audio_transformers_tpu.infer.pipeline import (
+            EmotionWhisperPipeline)
+        from audio_transformers_tpu.utils.audio import synth_clip
+
+        tok, mel_cfg, ds, params = setup
+        pipe = EmotionWhisperPipeline(
+            params, TINY, mel_cfg,
+            idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+            tokenizer=tok, compute_dtype=jnp.float32)
+        sizes = []
+        real = pipe._decode
+
+        def spy(group, dcfg):
+            sizes.append(group.shape[0])
+            return real(group, dcfg)
+
+        pipe._decode = spy
+        windows = np.stack([synth_clip(1.0, 16000, seed=i)[: pipe._window]
+                            for i in range(7)])
+        padded = np.zeros((7, pipe._window), np.float32)
+        padded[:, : windows.shape[1]] = windows
+        texts, probs = pipe.analyze_windows(padded, max_new_tokens=4,
+                                            max_batch=3)
+        assert len(texts) == 7 and probs.shape[0] == 7
+        assert max(sizes) <= 3, sizes
 
     def test_pipeline_kv_quant_int8(self, setup):
         """kv_quant plumbs through to the decode loop and the CLIs expose
