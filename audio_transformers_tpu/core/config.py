@@ -210,13 +210,27 @@ class WhisperConfig(_ConfigBase):
                              decoder_layers=32, num_heads=20, ffn_dim=5120)
 
     @staticmethod
+    def token_overrides_for_vocab(vocab_size: int) -> dict:
+        """Special-token ids that differ by vocab version. large-v3
+        (51866) inserts <|yue|> at 50358, shifting every LATER special
+        (+1): translate 50359, transcribe 50360, notimestamps 50364,
+        timestamps from 50365. <|startoftranscript|> (50258) and the
+        language block start are unchanged. Every config-building path
+        (presets, config_from_hf, config_from_json) must apply this —
+        class defaults are the v2/51865 ids."""
+        if vocab_size == 51866:
+            return {"no_timestamps_token_id": 50364,
+                    "timestamp_begin_id": 50365,
+                    "transcribe_token_id": 50360}
+        return {}
+
+    @staticmethod
     def large_v3() -> "WhisperConfig":
         """large-v3: 128 mel bins, one extra vocab entry (<|yue|>)."""
         return WhisperConfig(vocab_size=51866, n_mels=128, d_model=1280,
                              encoder_layers=32, decoder_layers=32,
                              num_heads=20, ffn_dim=5120,
-                             no_timestamps_token_id=50364,
-                             timestamp_begin_id=50365)
+                             **WhisperConfig.token_overrides_for_vocab(51866))
 
     @staticmethod
     def by_name(name: str) -> "WhisperConfig":

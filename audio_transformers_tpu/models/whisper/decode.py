@@ -49,9 +49,17 @@ def default_suppress_ids(cfg: WhisperConfig) -> Tuple[int, ...]:
     """The non-speech suppress list a real pretrained whisper checkpoint
     carries in its generation_config.json (the reference gets it implicitly
     through HF generate). Only meaningful for the real multilingual vocab;
-    from-scratch/test vocabs get no suppression."""
-    return (WHISPER_MULTILINGUAL_SUPPRESS
-            if cfg.vocab_size in (51865, 51866) else ())
+    from-scratch/test vocabs get no suppression.
+
+    The table above holds v2 (51865) ids. large-v3 (51866) inserts
+    <|yue|> at 50358, shifting the special tokens AFTER it by +1 — text
+    tokens (< 50258) and <|startoftranscript|> are unchanged."""
+    if cfg.vocab_size == 51865:
+        return WHISPER_MULTILINGUAL_SUPPRESS
+    if cfg.vocab_size == 51866:
+        return tuple(i + 1 if i >= 50358 else i
+                     for i in WHISPER_MULTILINGUAL_SUPPRESS)
+    return ()
 
 
 def build_prompt(cfg: WhisperConfig, dcfg: DecodeConfig) -> Tuple[int, ...]:
@@ -136,7 +144,10 @@ def _ngram_ban_targets(tokens, pos, n, oob, finished=None):
     flag, cont, starts = _ngram_window_flags(tokens, pos, n, finished)
     if tokens.shape[1] <= NGRAM_SCATTER_MAX_LEN:
         return jnp.where(flag, cont, oob), None, (flag, cont)
-    K = 16
+    # clamp to the window count: lax.top_k raises on k > axis size, and
+    # NGRAM_SCATTER_MAX_LEN=0 (forcing compaction at short L) is a
+    # documented tuning move
+    K = min(16, cont.shape[1])
     w_idx = jax.lax.top_k(jnp.where(flag, starts[None, :], -1), K)[0]
     cont_k = jnp.take_along_axis(cont, jnp.maximum(w_idx, 0), axis=1)
     idx = jnp.where(w_idx >= 0, cont_k, oob)          # OOB -> dropped

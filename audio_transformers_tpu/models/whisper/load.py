@@ -101,8 +101,15 @@ def from_torch_state_dict(sd: Dict, cfg: WhisperConfig) \
 
 
 def config_from_hf(hf_config) -> WhisperConfig:
-    """Build our WhisperConfig from a transformers.WhisperConfig."""
+    """Build our WhisperConfig from a transformers.WhisperConfig.
+
+    Timestamp/task token ids are derived from the vocab version
+    (WhisperConfig.token_overrides_for_vocab): HF's config.json does not
+    carry them, and the class defaults are the v2 ids — without the
+    override a large-v3 import would decode with <|nospeech|> in the
+    prompt and misclassify every timestamp token."""
     return WhisperConfig(
+        **WhisperConfig.token_overrides_for_vocab(hf_config.vocab_size),
         vocab_size=hf_config.vocab_size,
         n_mels=hf_config.num_mel_bins,
         d_model=hf_config.d_model,
@@ -120,8 +127,11 @@ def config_from_hf(hf_config) -> WhisperConfig:
 
 
 def config_from_json(d: dict) -> WhisperConfig:
-    """Build WhisperConfig from an HF-style config.json dict."""
+    """Build WhisperConfig from an HF-style config.json dict (same
+    vocab-derived token-id overrides as config_from_hf)."""
     return WhisperConfig(
+        **WhisperConfig.token_overrides_for_vocab(
+            d.get("vocab_size", 51865)),
         vocab_size=d.get("vocab_size", 51865),
         n_mels=d.get("num_mel_bins", 80),
         d_model=d.get("d_model", 384),

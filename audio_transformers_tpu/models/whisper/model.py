@@ -113,7 +113,13 @@ def encode(params: dict, cfg: WhisperConfig, mel: jax.Array, *,
     x = nn.gelu(nn.conv1d(p["conv1"], mel, padding=1))
     x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
     t = x.shape[1]
-    x = x + p["pos"][None, :t, :].astype(x.dtype)
+    # The encoder positional table is FROZEN, like HF's
+    # WhisperEncoder.embed_positions.requires_grad_(False): it stays in
+    # params only for checkpoint/import parity (repo convention puts
+    # non-trainables in state), so the gradient is stopped here. NB: a
+    # nonzero optimizer weight_decay would still decay it (grads are
+    # zero, decay is not) — OptimizerConfig defaults weight_decay to 0.
+    x = x + jax.lax.stop_gradient(p["pos"])[None, :t, :].astype(x.dtype)
     block = _self_block
     if remat:
         block = jax.checkpoint(_self_block, static_argnums=(2, 3))

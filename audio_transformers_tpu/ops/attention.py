@@ -27,8 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from audio_transformers_tpu.ops._tile import round_up as _round_up
 
 
 def _interpret_default() -> bool:

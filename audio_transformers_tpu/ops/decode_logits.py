@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # the fused/XLA token-parity proof depends on using the SAME sentinel as
 # the XLA processor chain — import, don't redefine
-from audio_transformers_tpu.ops.decode_attention import _round_up
+from audio_transformers_tpu.ops._tile import round_up as _round_up
 from audio_transformers_tpu.ops.logit_processors import NEG_INF
 
 _INT_MAX = jnp.iinfo(jnp.int32).max

@@ -40,8 +40,7 @@ from audio_transformers_tpu.ops.mel import _windowed_bases
 _LANE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from audio_transformers_tpu.ops._tile import round_up as _round_up
 
 
 @functools.lru_cache(maxsize=16)

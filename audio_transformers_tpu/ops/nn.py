@@ -270,7 +270,12 @@ def multihead_attention(params: dict, q_in: Array, kv_in: Array, *,
     semantics; pass a rng to enable).
     """
     if impl == "flash":
-        assert mask is None, "flash path supports only causal masking"
+        if mask is not None:
+            # a bare assert disappears under python -O and the mask
+            # would be SILENTLY ignored
+            raise NotImplementedError(
+                "flash path supports only causal masking; pass impl='xla' "
+                "for arbitrary masks")
         from audio_transformers_tpu.ops.attention import flash_attention
         # Project straight into the kernel's head-major (B, H, T, hd)
         # layout with 3-D-reshaped weights — XLA folds the permutation

@@ -513,6 +513,29 @@ def test_fused_processor_chain_matches_sequential():
                                       err_msg=f"pos={pos}")
 
 
+def test_ngram_compaction_at_short_buffers(monkeypatch):
+    """NGRAM_SCATTER_MAX_LEN=0 (forcing top-K compaction everywhere) is a
+    documented tuning move; with fewer than K windows the top-K must
+    clamp instead of tracing lax.top_k(k > axis) into a crash, and the
+    result must still equal the sequential processors."""
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    WhisperConfig)
+
+    monkeypatch.setattr(wdecode, "NGRAM_SCATTER_MAX_LEN", 0)
+    rng = np.random.default_rng(3)
+    b, vocab, length = 2, 512, 12  # W = 12 - 3 + 1 = 10 < K=16
+    logits = jnp.asarray(rng.standard_normal((b, vocab)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 8, (b, length)).astype(np.int32))
+    cfg = WhisperConfig.test()
+    dcfg = DecodeConfig(no_repeat_ngram_size=3)
+    for pos in (3, 7, length - 1):
+        got = wdecode._process_logits(logits, tokens, jnp.int32(pos),
+                                      cfg, dcfg, 3, (), ())
+        want = lp.no_repeat_ngram(logits, tokens, jnp.int32(pos), 3)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"pos={pos}")
+
+
 def test_long_buffer_ngram_sparse_and_dense_fallback():
     """The long-buffer (>128) ngram path compacts the scatter to the top-K
     flagged windows and cond-falls back to the dense mask when any row

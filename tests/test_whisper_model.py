@@ -137,3 +137,49 @@ def test_size_presets_param_counts(name, params_m):
     params = whisper_model.init(jax.random.PRNGKey(0), cfg)
     n = param_count(params) / 1e6
     assert abs(n - params_m) / params_m < 0.03, (name, n)
+
+
+def test_v3_token_ids_derived_everywhere():
+    """large-v3 (vocab 51866) inserts <|yue|> at 50358, shifting later
+    specials +1 — every config-building path must agree (a hardcoded v2
+    id decodes v3 checkpoints with <|nospeech|> in the prompt)."""
+    from audio_transformers_tpu.models.whisper.decode import (
+        default_suppress_ids)
+    from audio_transformers_tpu.models.whisper.load import config_from_json
+
+    v3 = WhisperConfig.large_v3()
+    assert (v3.no_timestamps_token_id, v3.timestamp_begin_id,
+            v3.transcribe_token_id) == (50364, 50365, 50360)
+
+    loaded = config_from_json({"vocab_size": 51866, "num_mel_bins": 128,
+                               "d_model": 1280, "encoder_layers": 32,
+                               "decoder_layers": 32,
+                               "encoder_attention_heads": 20,
+                               "encoder_ffn_dim": 5120})
+    assert (loaded.no_timestamps_token_id, loaded.timestamp_begin_id,
+            loaded.transcribe_token_id) == (50364, 50365, 50360)
+
+    v2 = WhisperConfig.tiny()
+    s2, s3 = default_suppress_ids(v2), default_suppress_ids(v3)
+    assert len(s2) == len(s3)
+    # text tokens unchanged, post-<|yue|> specials shifted +1
+    assert all((b == a + 1 if a >= 50358 else b == a)
+               for a, b in zip(s2, s3))
+    assert 50362 in s2 and 50363 in s3  # <|nospeech|> in each vocab
+
+
+def test_encoder_positional_table_is_frozen():
+    """HF freezes WhisperEncoder.embed_positions; the table lives in our
+    params only for import parity, so its gradient must be zero."""
+    cfg = WhisperConfig.test()
+    params = whisper_model.init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.n_mels)).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum(whisper_model.encode(p, cfg, mel) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["encoder"]["pos"]).max()) == 0.0
+    # the rest of the encoder still trains
+    assert float(jnp.abs(g["encoder"]["conv1"]["w"]).max()) > 0.0
