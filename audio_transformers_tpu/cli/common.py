@@ -9,17 +9,26 @@ from audio_transformers_tpu.data.tokenizer import ByteTokenizer, load_tokenizer
 
 def build_expresso_splits(args, tokenizer, *, duration: float = 3.0,
                           vocab_size: Optional[int] = None):
-    """(train, val, test, style_to_idx) from --dataset flags. Falls back to
-    the synthetic stand-in when the HF hub is unreachable."""
+    """(train, val, test, style_to_idx) from --dataset flags.
+
+    --dataset expresso needs network access to the HF hub; rather than
+    silently substituting different training data, an unreachable hub is
+    surfaced as a clear error pointing at --dataset synthetic."""
     from audio_transformers_tpu.data.expresso import (SIMPLE_STYLES,
                                                       SyntheticExpresso,
                                                       create_dataset)
 
     selected = SIMPLE_STYLES if getattr(args, "simple_styles", False) else None
     if args.dataset == "expresso":
-        return create_dataset(tokenizer, selected_styles=selected,
-                              data_percentage=args.data_percentage,
-                              seed=args.seed)
+        try:
+            return create_dataset(tokenizer, selected_styles=selected,
+                                  data_percentage=args.data_percentage,
+                                  seed=args.seed)
+        except (ConnectionError, OSError) as e:
+            raise SystemExit(
+                f"--dataset expresso: HF hub load failed ({e}). If this "
+                "machine has no network access, use --dataset synthetic "
+                "(the schema-faithful offline stand-in).") from e
     ds = SyntheticExpresso(tokenizer,
                            num_samples=getattr(args, "num_samples", 64),
                            styles=selected, duration=duration,
@@ -50,3 +59,37 @@ def get_tokenizer(name_or_path: Optional[str]):
     if name_or_path in (None, "", "byte"):
         return ByteTokenizer()
     return load_tokenizer(name_or_path)
+
+
+def load_pipeline(model_path: Optional[str], *, tokenizer=None, **kwargs):
+    """Build an EmotionWhisperPipeline from a --model_path flag value.
+
+    Single dispatch point shared by the infer/evaluate/evaluate_simple CLIs
+    and both servers: an HF save_pretrained dir (model.safetensors /
+    pytorch_model.bin) loads via from_hf_dir, anything else is treated as
+    an orbax checkpoint dir, and None random-initializes (self-test mode,
+    reference inference.py:239-300). Extra kwargs (kv_quant, compute_dtype,
+    ...) forward to the pipeline constructor on every path.
+    """
+    import os
+
+    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
+
+    if model_path is None:
+        import jax
+
+        from audio_transformers_tpu.core.config import EmotionWhisperConfig
+        from audio_transformers_tpu.models.whisper import emotion as emo
+        cfg = EmotionWhisperConfig()
+        params = emo.init(jax.random.PRNGKey(0), cfg)
+        return EmotionWhisperPipeline(params, cfg, tokenizer=tokenizer,
+                                      **kwargs)
+    if os.path.exists(os.path.join(model_path, "model.safetensors")) \
+            or os.path.exists(os.path.join(model_path,
+                                           "pytorch_model.bin")):
+        return EmotionWhisperPipeline.from_hf_dir(model_path,
+                                                  tokenizer=tokenizer,
+                                                  **kwargs)
+    return EmotionWhisperPipeline.from_checkpoint(model_path,
+                                                  tokenizer=tokenizer,
+                                                  **kwargs)

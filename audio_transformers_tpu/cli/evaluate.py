@@ -36,22 +36,13 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    import os
-
     from audio_transformers_tpu.cli.common import (build_expresso_splits,
-                                                   get_tokenizer)
+                                                   get_tokenizer,
+                                                   load_pipeline)
     from audio_transformers_tpu.infer.evaluate import evaluate_segment_level
-    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
 
     tokenizer = get_tokenizer(args.tokenizer)
-    if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
-            or os.path.exists(os.path.join(args.model_path,
-                                           "pytorch_model.bin")):
-        pipe = EmotionWhisperPipeline.from_hf_dir(args.model_path,
-                                                  tokenizer=tokenizer)
-    else:
-        pipe = EmotionWhisperPipeline.from_checkpoint(
-            args.model_path, tokenizer=tokenizer)
+    pipe = load_pipeline(args.model_path, tokenizer=tokenizer)
 
     w = pipe.cfg.whisper
     duration = min(30.0, (2 * w.max_source_positions)

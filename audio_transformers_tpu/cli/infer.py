@@ -30,31 +30,13 @@ def parse_args(argv=None):
 
 
 def load_pipeline(args):
-    import os
+    """Namespace-flavored wrapper over cli.common.load_pipeline (kept here
+    because both servers import it with an argparse.Namespace)."""
+    from audio_transformers_tpu.cli import common
 
-    kv_quant = getattr(args, "kv_quant", "none")
-
-    from audio_transformers_tpu.cli.common import get_tokenizer
-    from audio_transformers_tpu.infer.pipeline import EmotionWhisperPipeline
-
-    tokenizer = get_tokenizer(args.tokenizer)
-    if args.model_path is None:
-        import jax
-        from audio_transformers_tpu.core.config import EmotionWhisperConfig
-        from audio_transformers_tpu.models.whisper import emotion as emo
-        cfg = EmotionWhisperConfig()
-        params = emo.init(jax.random.PRNGKey(0), cfg)
-        return EmotionWhisperPipeline(params, cfg, tokenizer=tokenizer,
-                                      kv_quant=kv_quant)
-    if os.path.exists(os.path.join(args.model_path, "model.safetensors")) \
-            or os.path.exists(os.path.join(args.model_path,
-                                           "pytorch_model.bin")):
-        return EmotionWhisperPipeline.from_hf_dir(args.model_path,
-                                                  tokenizer=tokenizer,
-                                                  kv_quant=kv_quant)
-    return EmotionWhisperPipeline.from_checkpoint(args.model_path,
-                                                  tokenizer=tokenizer,
-                                                  kv_quant=kv_quant)
+    return common.load_pipeline(
+        args.model_path, tokenizer=common.get_tokenizer(args.tokenizer),
+        kv_quant=getattr(args, "kv_quant", "none"))
 
 
 def main(argv=None):

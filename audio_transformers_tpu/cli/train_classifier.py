@@ -83,7 +83,7 @@ def main(argv=None):
     # (+ optional Hub upload; reference train_classifier.py:136-145)
     from audio_transformers_tpu.utils.hub import export_classifier, push_to_hub
     export_path = f"{args.output_dir}/best_model.safetensors"
-    export_classifier(out["params"], out["state"], export_path)
+    export_classifier(out["best_params"], out["best_state"], export_path)
     print(f"exported {export_path}")
     if args.hf_repo_id:
         push_to_hub(args.output_dir, args.hf_repo_id)

@@ -84,8 +84,17 @@ def main(argv=None):
         sd = load_safetensors(args.pretrained)
         whisper_params, emotion = from_torch_state_dict(sd, cfg.whisper)
         base = emo.init(jax.random.PRNGKey(args.seed), cfg)
+        if emotion is not None and emotion["w"].shape[-1] != num_classes:
+            # a narrower head would silently corrupt the emotion loss (XLA
+            # clips out-of-range label gathers instead of erroring); a wider
+            # one would export a config.json inconsistent with the weights
+            print(f"[train] pretrained emotion head has "
+                  f"{emotion['w'].shape[-1]} classes but the dataset has "
+                  f"{num_classes}; reinitializing the head")
+            emotion = None
         init_params = {"whisper": whisper_params,
-                       "emotion_head": emotion or base["emotion_head"]}
+                       "emotion_head": emotion if emotion is not None
+                       else base["emotion_head"]}
 
     train_cfg = TrainConfig(
         batch_size=args.batch_size, num_epochs=args.num_epochs,
@@ -108,7 +117,7 @@ def main(argv=None):
     if args.hf_repo_id:
         from audio_transformers_tpu.utils.hub import (export_hf_dir,
                                                       push_to_hub)
-        hf_dir = export_hf_dir(out["params"], cfg,
+        hf_dir = export_hf_dir(out["best_params"], cfg,
                                f"{args.output_dir}/hf_export",
                                style_to_idx=style_to_idx,
                                val_loss=out["best_val_loss"])

@@ -149,5 +149,21 @@ def config_from_json(d: dict) -> WhisperConfig:
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a state dict from a .safetensors file or an HF save_pretrained
+    directory (model.safetensors, falling back to pytorch_model.bin)."""
+    import os
+
+    if os.path.isdir(path):
+        st = os.path.join(path, "model.safetensors")
+        bin_ = os.path.join(path, "pytorch_model.bin")
+        if os.path.exists(st):
+            path = st
+        elif os.path.exists(bin_):
+            import torch
+            return torch.load(bin_, map_location="cpu")
+        else:
+            raise FileNotFoundError(
+                f"no model.safetensors or pytorch_model.bin in {path!r} "
+                "(sharded index checkpoints are not supported)")
     from safetensors.numpy import load_file
     return load_file(path)

@@ -12,6 +12,25 @@ from __future__ import annotations
 import sys
 
 
+def parse_flags(argv):
+    """--flag=value and --flag value forms (the docstring's own invocation
+    uses the space-separated form; accepting only '=' served a random-init
+    model silently)."""
+    flags = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+                flags[k] = v
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                flags[a] = argv[i + 1]
+                i += 1
+        i += 1
+    return flags
+
+
 def main():
     import streamlit as st
 
@@ -28,8 +47,7 @@ def main():
         ns = argparse.Namespace(model_path=model_path, tokenizer=tokenizer)
         return load_pipeline(ns)
 
-    args = dict(a.split("=", 1) for a in sys.argv[1:]
-                if a.startswith("--") and "=" in a)
+    args = parse_flags(sys.argv[1:])
     pipeline = load(args.get("--model_path"), args.get("--tokenizer"))
 
     # Advertise exactly what decodes: wav (stdlib) + flac (first-party

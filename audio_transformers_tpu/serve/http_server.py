@@ -36,6 +36,12 @@ async function go(){
   document.getElementById('out').innerHTML='<p>processing...</p>';
   const r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
   const d=await r.json();
+  if(!r.ok){
+    document.getElementById('out').innerHTML=
+      '<p style="color:#b00">error ('+r.status+'): '+
+      (d.error||'request failed')+'</p>';
+    return;
+  }
   let h='<h3>Transcription</h3><blockquote>'+(d.transcription||'(empty)')+
         '</blockquote><h3>Segments</h3>';
   for(const s of d.segments){
@@ -87,11 +93,22 @@ def make_handler(pipeline, segment_duration: float, batcher=None):
             else:
                 self._send(404, b"not found", "text/plain")
 
+        # 30 s * 16 kHz * 4 B float32 wav is ~1.9 MB; 256 MB covers any
+        # plausible long-form upload while bounding a hostile
+        # Content-Length (one unchecked read could exhaust host memory)
+        MAX_BODY = 256 * 1024 * 1024
+
         def do_POST(self):
             if self.path != "/analyze":
                 self._send(404, b"not found", "text/plain")
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.MAX_BODY:
+                self._send(413, json.dumps(
+                    {"error": f"body too large ({n} bytes; "
+                              f"max {self.MAX_BODY})"}).encode(),
+                    "application/json")
+                return
             data = self.rfile.read(n)
             try:
                 audio, sr = _parse_audio(data)
@@ -106,9 +123,17 @@ def make_handler(pipeline, segment_duration: float, batcher=None):
                     {"error": f"bad audio: {e}"}).encode(),
                     "application/json")
                 return
-            result = pipeline.analyze(
-                audio, sr, segment_duration=segment_duration,
-                runner=batcher.runner if batcher is not None else None)
+            try:
+                result = pipeline.analyze(
+                    audio, sr, segment_duration=segment_duration,
+                    runner=batcher.runner if batcher is not None else None)
+            except Exception as e:  # device/batcher error -> JSON 500,
+                # not a dropped socket (the client would hang on
+                # 'processing...' forever)
+                self._send(500, json.dumps(
+                    {"error": f"inference failed: {e}"}).encode(),
+                    "application/json")
+                return
             self._send(200, json.dumps(result).encode(), "application/json")
 
     return Handler

@@ -125,6 +125,11 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
                                          "train": train_cfg.to_json()})
 
     best_val_acc, history = -1.0, []
+    # host-side snapshot of the best-by-val-accuracy (params, state); the
+    # live trees are donated into train_step every step, so the loop-exit
+    # trees are the LAST epoch, not the best (reference keeps best_model.pt,
+    # train_classifier.py:126-133)
+    best_tree = None
     step = 0
     start_epoch = 0
     if resume_ckpt is not None and resume_ckpt.latest_step() is not None:
@@ -145,6 +150,11 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
             plateau.bad_epochs = meta.get("plateau_bad_epochs",
                                           plateau.bad_epochs)
             opt_state = set_learning_rate(opt_state, plateau.lr)
+        if ckpt is not None and ckpt.best_step() is not None:
+            btree, _, _ = ckpt.restore(
+                step=ckpt.best_step(),
+                like={"params": params, "state": state})
+            best_tree = jax.device_get(btree)
         print(f"[train] resumed from epoch {start_epoch} (step {step})")
 
     timer = StepTimer()
@@ -204,8 +214,10 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
         # train_classifier.py:126-133).
         if val["accuracy"] > best_val_acc:
             best_val_acc = val["accuracy"]
+            # one host fetch, shared with the checkpoint write below
+            best_tree = jax.device_get({"params": params, "state": state})
             if ckpt is not None:
-                ckpt.save(step, {"params": params, "state": state},
+                ckpt.save(step, best_tree,
                           metadata={"model_cfg": model_cfg.to_json(),
                                     "mel_cfg": mel_cfg.to_json(),
                                     "epoch": epoch + 1,
@@ -227,5 +239,9 @@ def train_classifier(model_cfg: UrbanSoundConfig, mel_cfg: MelConfig,
     if resume_ckpt is not None:
         resume_ckpt.close()
     log.finish()
+    if best_tree is None:  # no eval improved (e.g. zero epochs ran)
+        best_tree = jax.device_get({"params": params, "state": state})
     return {"params": params, "state": state, "opt_state": opt_state,
+            "best_params": best_tree["params"],
+            "best_state": best_tree["state"],
             "history": history, "best_val_accuracy": best_val_acc}

@@ -198,6 +198,11 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
         config={"cfg": cfg.to_json(), "train": train_cfg.to_json()})
 
     best_val_loss = float("inf")
+    # host-side snapshot of the best-by-val-loss params; the live `params`
+    # tree is donated into train_step every step, so the final tree is the
+    # LAST epoch, not the best (reference keeps best via its checkpoint,
+    # whisper_finetune/train.py:129-141)
+    best_params = None
     history = []
     step = 0
     start_epoch = 0
@@ -211,6 +216,10 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
         start_epoch = (meta or {}).get("epoch", 0)
         best_val_loss = (meta or {}).get("best_val_loss", float("inf"))
         step = rstep
+        if ckpt is not None and ckpt.best_step() is not None:
+            btree, _, _ = ckpt.restore(step=ckpt.best_step(),
+                                       like={"params": params})
+            best_params = jax.device_get(btree["params"])
         print(f"[train] resumed from epoch {start_epoch} (step {step})")
 
     timer = StepTimer()
@@ -263,8 +272,10 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
 
         if val["loss"] < best_val_loss:
             best_val_loss = val["loss"]
+            # one host fetch, shared with the checkpoint write below
+            best_params = jax.device_get(params)
             if ckpt is not None:
-                ckpt.save(step, {"params": params},
+                ckpt.save(step, {"params": best_params},
                           metadata={"cfg": cfg.to_json(),
                                     "mel_cfg": mel_cfg.to_json(),
                                     "epoch": epoch + 1,
@@ -282,5 +293,8 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
     if resume_ckpt is not None:
         resume_ckpt.close()
     log.finish()
-    return {"params": params, "opt_state": opt_state, "history": history,
+    if best_params is None:  # no eval improved (e.g. zero epochs ran)
+        best_params = jax.device_get(params)
+    return {"params": params, "best_params": best_params,
+            "opt_state": opt_state, "history": history,
             "best_val_loss": best_val_loss}

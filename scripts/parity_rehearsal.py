@@ -143,8 +143,10 @@ def main(argv=None):
     # Sequence-level evaluation on the test split — the reference's
     # published-metric path (evaluate_simple.py), exact artifact formats.
     eval_dir = os.path.join(args.output_dir, "eval_out")
+    # best-by-val-loss params: the reference evaluates its saved best model
+    # (evaluate_simple.py loads the checkpoint dir), not the final epoch
     result = evaluate_sequence_level(
-        out["params"], cfg, mel_cfg, test_ds.batcher(args.batch_size),
+        out["best_params"], cfg, mel_cfg, test_ds.batcher(args.batch_size),
         idx_to_style, tokenizer=tokenizer, output_dir=eval_dir)
 
     summary = {
