@@ -125,6 +125,103 @@ def test_linear_warmup_decay_schedule():
     assert mags[-1] < max(mags)     # decaying after peak
 
 
+def test_classifier_returns_best_epoch_tree(tmp_path):
+    """The returned best_params/best_state must be the best-by-val-accuracy
+    snapshot, not the last epoch: the live trees are donated into the jit'd
+    train_step, so the loop-exit trees are the final epoch (reference keeps
+    best_model.pt, urban_sounds/train_classifier.py:126-133)."""
+    from audio_transformers_tpu.core.checkpoint import Checkpointer
+    from audio_transformers_tpu.parallel.mesh import build_mesh, replicated
+    from audio_transformers_tpu.train.classifier import (evaluate, make_steps,
+                                                         train_classifier)
+    from audio_transformers_tpu.train.optim import build_optimizer
+
+    mel_cfg = MelConfig.urbansound()
+    ds_t = SyntheticClassification(num_samples=16, num_classes=4,
+                                   duration=1.0, seed=1)
+    ds_v = SyntheticClassification(num_samples=8, num_classes=4,
+                                   duration=1.0, seed=2)
+    tcfg = _cfgs(str(tmp_path), 3)
+    out = train_classifier(SMALL, mel_cfg, tcfg,
+                           ds_t.batcher(8), ds_v.batcher(8))
+
+    assert out["best_val_accuracy"] == max(h["val/accuracy"]
+                                           for h in out["history"])
+    # a fresh eval of the returned best tree reproduces best_val_accuracy
+    mesh = build_mesh(tcfg.mesh_shape)
+    _, eval_step = make_steps(SMALL, mel_cfg, tcfg,
+                              build_optimizer(tcfg.optimizer))
+    val = evaluate(eval_step,
+                   jax.device_put(out["best_params"], replicated(mesh)),
+                   jax.device_put(out["best_state"], replicated(mesh)),
+                   ds_v.batcher(8), mesh)
+    np.testing.assert_allclose(val["accuracy"], out["best_val_accuracy"],
+                               rtol=1e-6)
+    # and it is exactly the tree the best checkpoint holds
+    ck = Checkpointer(tcfg.checkpoint_dir, best_mode="max")
+    btree, _, _ = ck.restore(step=ck.best_step(),
+                             like={"params": out["best_params"],
+                                   "state": out["best_state"]})
+    ck.close()
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(btree["params"]),
+            jax.tree_util.tree_leaves_with_path(out["best_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_whisper_returns_best_params_and_restores_on_resume(tmp_path):
+    """Same invariant for the whisper trainer, plus: a resumed run that
+    trains zero additional epochs must still return the best snapshot
+    (restored from the best checkpoint, not the resume tree)."""
+    from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
+                                                    WhisperConfig)
+    from audio_transformers_tpu.data.synthetic import SyntheticSeq2Seq
+    from audio_transformers_tpu.parallel.mesh import build_mesh, replicated
+    from audio_transformers_tpu.train.optim import build_optimizer
+    from audio_transformers_tpu.train.whisper_emotion import (
+        evaluate, make_steps, train_whisper_emotion)
+
+    cfg = EmotionWhisperConfig(whisper=WhisperConfig.test(),
+                               num_emotion_classes=4)
+    w = cfg.whisper
+    mel_cfg = MelConfig.whisper()
+    tcfg = _cfgs(str(tmp_path / "unused"), 3)
+    dur = 2 * w.max_source_positions * mel_cfg.hop_length \
+        / mel_cfg.sample_rate
+    mk = lambda n, seed: SyntheticSeq2Seq(
+        num_samples=n, num_classes=4, vocab_size=w.vocab_size,
+        max_label_len=8, duration=dur, seed=seed,
+        bos_id=w.decoder_start_token_id, eos_id=w.eos_token_id,
+        pad_id=w.pad_token_id)
+    ds_t, ds_v = mk(16, 1), mk(8, 2)
+    run_dir = str(tmp_path / "run")
+    out = train_whisper_emotion(cfg, mel_cfg, tcfg, ds_t.batcher(8),
+                                ds_v.batcher(8), output_dir=run_dir)
+
+    assert out["best_val_loss"] == min(h["val/loss"] for h in out["history"])
+    mesh = build_mesh(tcfg.mesh_shape)
+    _, eval_step = make_steps(cfg, mel_cfg, tcfg,
+                              build_optimizer(tcfg.optimizer))
+    val = evaluate(eval_step,
+                   jax.device_put(out["best_params"], replicated(mesh)),
+                   ds_v.batcher(8), mesh,
+                   emotion_weight=tcfg.emotion_weight)
+    np.testing.assert_allclose(val["loss"], out["best_val_loss"], rtol=1e-5)
+
+    # resume with the same num_epochs: no epochs run, no improvement seen,
+    # yet best_params must come back (from the best checkpoint on disk)
+    out2 = train_whisper_emotion(cfg, mel_cfg, tcfg, ds_t.batcher(8),
+                                 ds_v.batcher(8), output_dir=run_dir)
+    assert out2["history"] == []
+    assert out2["best_val_loss"] == out["best_val_loss"]
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(out2["best_params"]),
+            jax.tree_util.tree_leaves_with_path(out["best_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
 class TestConfigKnobs:
     """Every TrainConfig/UrbanSoundConfig knob must turn something
     (round-1 finding: norm_type/spec_augment existed unread)."""
