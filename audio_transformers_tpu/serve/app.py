@@ -51,10 +51,16 @@ def main():
     pipeline = load(args.get("--model_path"), args.get("--tokenizer"))
 
     # Advertise exactly what decodes: wav (stdlib) + flac (first-party
-    # native decoder). The reference also takes mp3/ogg/m4a via librosa
-    # (streamlit_app.py:30); those fail with a clear message here instead
-    # of a wave-module crash.
-    uploaded = st.file_uploader("Audio file", type=["wav", "flac"])
+    # native decoder), plus mp3/ogg/m4a only when soundfile/librosa is
+    # installed (the reference's own decode path for those,
+    # streamlit_app.py:30). Anything else fails with a clear message
+    # instead of a wave-module crash.
+    from audio_transformers_tpu.utils.audio import (
+        thirdparty_formats_available)
+    types = ["wav", "flac"]
+    if thirdparty_formats_available():
+        types += ["mp3", "ogg", "m4a"]
+    uploaded = st.file_uploader("Audio file", type=types)
     if uploaded is None:
         return
     st.audio(uploaded)

@@ -136,24 +136,71 @@ def sniff_container(data: bytes) -> str:
     return "unknown"
 
 
+def _thirdparty_decode(data: bytes):
+    """Optional soundfile/librosa fallback for containers the first-party
+    tier does not cover (mp3/ogg/m4a — the reference decodes these via
+    librosa, whisper_finetune/streamlit_app.py:64-68). Returns
+    (audio, sr) or None when neither library is importable or neither can
+    decode the bytes. Never raises."""
+    import io
+    try:
+        import soundfile as sf
+    except ImportError:
+        sf = None
+    if sf is not None:
+        try:
+            a, sr = sf.read(io.BytesIO(data), dtype="float32",
+                            always_2d=False)
+            return (a.T if a.ndim == 2 else a), int(sr)
+        except Exception:
+            pass
+    try:
+        import librosa
+    except ImportError:
+        return None
+    try:
+        a, sr = librosa.load(io.BytesIO(data), sr=None, mono=False)
+        return np.asarray(a, dtype=np.float32), int(sr)
+    except Exception:
+        return None
+
+
+def thirdparty_formats_available() -> bool:
+    """True when an optional decode library (soundfile or librosa) is
+    importable, i.e. mp3/ogg/m4a uploads can be served. Drives honest
+    format advertisement in both servers."""
+    for mod in ("soundfile", "librosa"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            continue
+    return False
+
+
 def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
     """Decode an in-memory audio container -> (float32 audio, sr).
 
-    Supported: wav (stdlib PCM widths 1/2/3/4; IEEE-float via the native
-    decoder) and FLAC (first-party native decoder,
-    native/audiodec/flac.cpp — the reference gets flac through
-    librosa/libsndfile, whisper_finetune/streamlit_app.py:64-68). Raises
-    ValueError with the sniffed container name for anything else, so
-    serving surfaces can report a clear 415 instead of a wave-module
-    crash."""
+    First-party tier: wav (stdlib PCM widths 1/2/3/4; IEEE-float via the
+    native decoder) and FLAC (native/audiodec/flac.cpp — the reference
+    gets flac through librosa/libsndfile,
+    whisper_finetune/streamlit_app.py:64-68). Other containers
+    (mp3/ogg/m4a) decode through soundfile/librosa when installed —
+    the reference's own path — and otherwise raise ValueError with the
+    sniffed container name, so serving surfaces report a clear 415
+    instead of a wave-module crash."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _decode_wav_bytes(data)
     if data[:4] == b"fLaC":
         from audio_transformers_tpu.data import native_loader as nl
         return nl.decode_flac(data)
+    got = _thirdparty_decode(data)
+    if got is not None:
+        return got
     raise ValueError(
-        f"unsupported audio container ({sniff_container(data)}): only wav "
-        f"and flac decode natively in this build")
+        f"unsupported audio container ({sniff_container(data)}): wav and "
+        f"flac decode natively; install soundfile or librosa for "
+        f"mp3/ogg/m4a")
 
 
 def read_audio(path: str) -> tuple[np.ndarray, int]:
