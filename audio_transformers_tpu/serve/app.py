@@ -15,7 +15,9 @@ import sys
 def parse_flags(argv):
     """--flag=value and --flag value forms (the docstring's own invocation
     uses the space-separated form; accepting only '=' served a random-init
-    model silently)."""
+    model silently). Every flag here takes a value, so a --flag with no
+    value following is an error, not a silent skip — that would reproduce
+    the same random-init failure mode."""
     flags = {}
     i = 0
     while i < len(argv):
@@ -27,6 +29,9 @@ def parse_flags(argv):
             elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
                 flags[a] = argv[i + 1]
                 i += 1
+            else:
+                raise ValueError(f"flag {a} expects a value "
+                                 f"({a}=VALUE or {a} VALUE)")
         i += 1
     return flags
 

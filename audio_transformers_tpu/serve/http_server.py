@@ -30,16 +30,26 @@ emotion per %SEG%-second segment.</p>
 <input type="file" id="f" accept=".wav,.flac"/> <button onclick="go()">Analyze</button>
 <div id="out"></div>
 <script>
+function fail(msg){
+  document.getElementById('out').innerHTML=
+    '<p style="color:#b00">'+msg+'</p>';
+}
 async function go(){
   const f=document.getElementById('f').files[0];
   if(!f){alert('choose a wav or flac file');return}
   document.getElementById('out').innerHTML='<p>processing...</p>';
-  const r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
-  const d=await r.json();
-  if(!r.ok){
-    document.getElementById('out').innerHTML=
-      '<p style="color:#b00">error ('+r.status+'): '+
-      (d.error||'request failed')+'</p>';
+  let r,d=null;
+  try{
+    r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
+    try{d=await r.json();}catch(e){}
+  }catch(e){
+    // e.g. the server 413s and closes mid-upload: fetch rejects and,
+    // unhandled, would leave the page stuck on 'processing...'
+    fail('request failed: '+e);
+    return;
+  }
+  if(!r.ok||d===null){
+    fail('error ('+r.status+'): '+((d&&d.error)||'request failed'));
     return;
   }
   let h='<h3>Transcription</h3><blockquote>'+(d.transcription||'(empty)')+
@@ -102,7 +112,16 @@ def make_handler(pipeline, segment_duration: float, batcher=None):
             if self.path != "/analyze":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", ""))
+            except ValueError:
+                n = -1
+            if n < 0:  # absent, malformed, or negative: read(-1) would
+                # buffer an attacker's stream until EOF — refuse instead
+                self._send(411, json.dumps(
+                    {"error": "missing or malformed Content-Length"}
+                ).encode(), "application/json")
+                return
             if n > self.MAX_BODY:
                 self._send(413, json.dumps(
                     {"error": f"body too large ({n} bytes; "

@@ -20,12 +20,37 @@ import optax
 from audio_transformers_tpu.core.config import OptimizerConfig
 
 
+def frozen_leaf_decay_mask(params, *, frozen=(("whisper", "encoder",
+                                               "pos"),)) -> dict:
+    """adamw weight-decay mask excluding frozen leaves.
+
+    The encoder positional table is non-trainable (stop_gradient in
+    models/whisper/model.py — HF freezes WhisperEncoder.embed_positions
+    the same way) but lives in the stateless whisper param tree; with
+    weight_decay > 0 an unmasked adamw would decay it every step even
+    though its grads are zero, silently corrupting imported positions.
+    """
+    import jax
+
+    frozen = {tuple(f) for f in frozen}
+
+    def mark(path, _leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "name", None))
+                     for p in path)
+        return keys not in frozen
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def build_optimizer(cfg: OptimizerConfig,
-                    total_steps: Optional[int] = None):
+                    total_steps: Optional[int] = None,
+                    decay_mask=None):
     """Returns an optax GradientTransformation.
 
     For schedule="linear_warmup_decay", `total_steps` is required.
     For schedule="reduce_on_plateau", use `set_learning_rate` between epochs.
+    `decay_mask` (a pytree-of-bools or params->pytree callable) limits
+    adamw weight decay to the marked leaves; see frozen_leaf_decay_mask.
     """
     if cfg.schedule == "linear_warmup_decay":
         if not total_steps:
@@ -43,7 +68,8 @@ def build_optimizer(cfg: OptimizerConfig,
     def _core(learning_rate):
         if cfg.name == "adamw":
             return optax.adamw(learning_rate, b1=cfg.b1, b2=cfg.b2,
-                               eps=cfg.eps, weight_decay=cfg.weight_decay)
+                               eps=cfg.eps, weight_decay=cfg.weight_decay,
+                               mask=decay_mask)
         if cfg.name == "adam":
             return optax.adam(learning_rate, b1=cfg.b1, b2=cfg.b2,
                               eps=cfg.eps)

@@ -37,7 +37,8 @@ from audio_transformers_tpu.ops.mel import log_mel
 from audio_transformers_tpu.ops.mel import precision_for as mel_precision_for
 from audio_transformers_tpu.parallel.mesh import (build_mesh, replicated,
                                                   shard_batch)
-from audio_transformers_tpu.train.optim import build_optimizer
+from audio_transformers_tpu.train.optim import (build_optimizer,
+                                                frozen_leaf_decay_mask)
 
 
 def dual_loss(logits: jax.Array, emotion_logits: jax.Array,
@@ -172,7 +173,8 @@ def train_whisper_emotion(cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
                           logger: Optional[MetricLogger] = None) -> dict:
     mesh = build_mesh(train_cfg.mesh_shape)
     total_steps = train_batcher.steps_per_epoch * train_cfg.num_epochs
-    tx = build_optimizer(train_cfg.optimizer, total_steps=total_steps)
+    tx = build_optimizer(train_cfg.optimizer, total_steps=total_steps,
+                         decay_mask=frozen_leaf_decay_mask)
 
     if init_params is None:
         init_params = emo.init(jax.random.PRNGKey(train_cfg.seed), cfg)

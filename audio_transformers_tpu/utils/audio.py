@@ -168,12 +168,19 @@ def _thirdparty_decode(data: bytes):
 def thirdparty_formats_available() -> bool:
     """True when an optional decode library (soundfile or librosa) is
     importable, i.e. mp3/ogg/m4a uploads can be served. Drives honest
-    format advertisement in both servers."""
+    format advertisement in both servers. find_spec, not import: a mere
+    availability probe must not pay librosa's numba/scipy import chain
+    at server startup."""
+    import importlib.util
+    import sys
+
     for mod in ("soundfile", "librosa"):
-        try:
-            __import__(mod)
+        if mod in sys.modules:  # injected fakes have no spec on disk
             return True
-        except ImportError:
+        try:
+            if importlib.util.find_spec(mod) is not None:
+                return True
+        except (ImportError, ValueError):
             continue
     return False
 

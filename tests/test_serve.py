@@ -212,3 +212,58 @@ def test_unknown_paths_404(server):
     with pytest.raises(urllib.error.HTTPError) as e2:
         urllib.request.urlopen(req, timeout=30)
     assert e2.value.code == 404
+
+
+def _raw_post(server_url, headers, body=b""):
+    """POST /analyze with full control of the Content-Length header
+    (urllib always rewrites it, so hostile values need a raw socket)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server_url)
+    req = "POST /analyze HTTP/1.1\r\nHost: x\r\n"
+    for k, v in headers.items():
+        req += f"{k}: {v}\r\n"
+    req += "Connection: close\r\n\r\n"
+    with socket.create_connection((u.hostname, u.port), timeout=60) as s:
+        s.sendall(req.encode() + body)
+        chunks = []
+        while True:
+            b = s.recv(65536)
+            if not b:
+                break
+            chunks.append(b)
+    raw = b"".join(chunks)
+    status = int(raw.split(b" ", 2)[1])
+    payload = raw.split(b"\r\n\r\n", 1)[1]
+    return status, json.loads(payload) if payload else {}
+
+
+def test_oversized_content_length_is_413(server):
+    status, out = _raw_post(server, {"Content-Length": str(300 << 20)})
+    assert status == 413
+    assert "body too large" in out["error"]
+
+
+def test_hostile_content_length_is_411(server):
+    """Negative or malformed Content-Length must not reach
+    rfile.read(-1) (which would buffer the stream until EOF — the DoS
+    the body cap exists to prevent)."""
+    for val in ("-1", "abc", ""):
+        status, out = _raw_post(server, {"Content-Length": val})
+        assert status == 411, (val, status)
+        assert "Content-Length" in out["error"]
+
+
+def test_app_parse_flags():
+    """Both --k=v and --k v forms parse; a flag missing its value is an
+    error, not a silent skip (which served a random-init model)."""
+    from audio_transformers_tpu.serve.app import parse_flags
+
+    assert parse_flags(["--model_path=/a", "--tokenizer", "byte"]) == \
+        {"--model_path": "/a", "--tokenizer": "byte"}
+    assert parse_flags([]) == {}
+    with pytest.raises(ValueError, match="--model_path"):
+        parse_flags(["--model_path", "--tokenizer", "byte"])
+    with pytest.raises(ValueError, match="--tokenizer"):
+        parse_flags(["--tokenizer"])

@@ -315,3 +315,37 @@ class TestConfigKnobs:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+def test_adamw_decay_mask_spares_frozen_encoder_positions():
+    """weight_decay > 0 must never shrink the frozen encoder positional
+    table (grads are stop_gradient'd to zero, but decoupled decay is
+    applied regardless unless masked — it would silently corrupt imported
+    HF positions)."""
+    import optax
+
+    from audio_transformers_tpu.core.config import (EmotionWhisperConfig,
+                                                    WhisperConfig)
+    from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.train.optim import (build_optimizer,
+                                                    frozen_leaf_decay_mask)
+
+    cfg = EmotionWhisperConfig(whisper=WhisperConfig.test(),
+                               num_emotion_classes=4)
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    tx = build_optimizer(
+        OptimizerConfig(name="adamw", learning_rate=1e-2,
+                        weight_decay=0.1, schedule="constant"),
+        decay_mask=frozen_leaf_decay_mask)
+    opt_state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, opt_state, params)
+    new = optax.apply_updates(params, updates)
+
+    pos_before = np.asarray(params["whisper"]["encoder"]["pos"])
+    pos_after = np.asarray(new["whisper"]["encoder"]["pos"])
+    np.testing.assert_array_equal(pos_after, pos_before)
+    # ...while a trainable leaf does decay under zero grads
+    w_before = np.asarray(params["emotion_head"]["w"])
+    w_after = np.asarray(new["emotion_head"]["w"])
+    assert np.abs(w_after - w_before).max() > 0
