@@ -267,3 +267,28 @@ def test_app_parse_flags():
         parse_flags(["--model_path", "--tokenizer", "byte"])
     with pytest.raises(ValueError, match="--tokenizer"):
         parse_flags(["--tokenizer"])
+
+
+def test_inference_failure_is_json_500():
+    """A pipeline/device error must come back as a JSON 500, not a
+    dropped socket (the page would hang on 'processing...')."""
+    class Exploding:
+        def analyze(self, *a, **k):
+            raise RuntimeError("device gone")
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(Exploding(),
+                                             segment_duration=1.0))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        req = urllib.request.Request(
+            f"{url}/analyze", data=_wav_bytes(synth_clip(0.2, 16000),
+                                              16000), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 500
+        assert "device gone" in json.loads(exc_info.value.read())["error"]
+    finally:
+        httpd.shutdown()
