@@ -65,7 +65,20 @@ class Checkpointer:
             restore_args["tree"] = ocp.args.StandardRestore(abstract)
         else:
             restore_args["tree"] = ocp.args.StandardRestore()
-        result = self._mgr.restore(step, args=ocp.args.Composite(**restore_args))
+        try:
+            result = self._mgr.restore(
+                step, args=ocp.args.Composite(**restore_args))
+        except ValueError as e:
+            if "tree structures do not match" not in str(e):
+                raise
+            raise ValueError(
+                f"checkpoint at {self.directory} step {step} has a different "
+                f"pytree structure than the current code expects (it was "
+                f"likely written by an older version of this package — e.g. "
+                f"a different optimizer chain changes opt_state's shape). "
+                f"Resume is only possible with matching code; start a fresh "
+                f"run (point --output_dir/--resume elsewhere or delete the "
+                f"stale checkpoints).\n  original error: {e}") from e
         tree = result["tree"]
         meta = None
         meta_path = os.path.join(self.directory, str(step), "metadata")

@@ -46,6 +46,23 @@ def test_retention_and_best(tmp_path):
     ck.close()
 
 
+def test_structure_mismatch_is_actionable(tmp_path):
+    """Restoring into a template with a different pytree structure (e.g. a
+    checkpoint written before an optimizer-chain change) must fail with an
+    error that names the directory and says how to recover — not orbax's
+    raw metadata-tree traceback."""
+    import pytest
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save(1, _tree(0))
+    stale = {"a": jnp.zeros((4, 8)),
+             "b": {"c": jnp.zeros(6, jnp.int32),
+                   "extra": jnp.zeros(3)}}  # structure drift
+    with pytest.raises(ValueError, match="older version|different pytree"):
+        ck.restore(like=stale)
+    ck.close()
+
+
 def test_label_map_roundtrip(tmp_path):
     path = str(tmp_path / "style_to_id.txt")
     mapping = {"happy": 0, "sad": 1, "a: weird name": 2}
