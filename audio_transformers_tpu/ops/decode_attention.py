@@ -70,6 +70,22 @@ def preferred_block_t(t: int) -> int:
     return min(768, _round_up(t, 128))
 
 
+def default_block_bh(itemsize: int, block_t: int, int4: bool) -> int:
+    """Default (b,h)-block, from the on-chip sweeps (v5e, b128, T=1500).
+
+    int8/bf16: big blocks reach the K+V-read floor ((64,768) 0.77 ms vs
+    (8,512) 1.21 for int8); scale down by dtype so the double-buffered
+    K+V blocks stay ~12.6 MB of VMEM. int4's VMEM cost is NOT the packed
+    bytes: the in-kernel unpack materializes kb (int32) + k_lo/k_hi
+    (f32) temporaries, ~12 B per packed element — at block_bh=128 Mosaic's
+    16 MB scoped-VMEM stack overflows (28.7 MB measured; compile FAIL).
+    The chip sweep (scripts/int4_chip_check.py stage 2) picks 64:
+    0.187 ms/layer vs 0.234 at 32.
+    """
+    eff_itemsize = 1 if int4 else itemsize
+    return max(int(64 // eff_itemsize) // max(block_t // 768, 1), 8)
+
+
 def pad_time_for_decode_kernel(x: jax.Array, t: int) -> jax.Array:
     """Zero-pad the minor (time) axis to the kernel's block multiple.
     Call ONCE outside the decode loop (see t_valid in
@@ -224,8 +240,7 @@ def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         # multiple of 256
         block_t = _round_up(block_t, 256)
     if block_bh is None:
-        eff_itemsize = k.dtype.itemsize / 2 if int4 else k.dtype.itemsize
-        block_bh = max(int(64 // eff_itemsize) // max(block_t // 768, 1), 8)
+        block_bh = default_block_bh(k.dtype.itemsize, block_t, int4)
     block_bh = min(block_bh, _round_up(bh, 8))
     bh_pad = _round_up(bh, block_bh)
     t_pad = _round_up(t, block_t)

@@ -138,6 +138,22 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_default_blocks_chip_validated(self):
+        """Lock the on-chip sweep results: int4 must default to 64 at the
+        production geometry (128 OOMs Mosaic's scoped-VMEM stack — the
+        unpack temporaries cost ~12 B/packed element), int8 to 64, bf16
+        to 32 (double-buffered K+V ~12.6 MB)."""
+        from audio_transformers_tpu.ops.decode_attention import (
+            default_block_bh, preferred_block_t)
+
+        bt = preferred_block_t(1500)   # 768
+        assert default_block_bh(1, bt, int4=True) == 64
+        assert default_block_bh(1, bt, int4=False) == 64   # int8
+        assert default_block_bh(2, bt, int4=False) == 32   # bf16
+        assert default_block_bh(4, bt, int4=False) == 16   # f32
+        # never below the 8-sublane minimum, even at huge time blocks
+        assert default_block_bh(4, 4 * bt, int4=False) == 8
+
     def test_int4_pack_unpack_roundtrip(self):
         from audio_transformers_tpu.ops.decode_attention import (pack_int4,
                                                                  unpack_int4)
