@@ -26,6 +26,11 @@ def parse_args(argv=None):
                         "dominant per-step HBM read (~30%% faster per token, "
                         "approximate parity), int4 quarters it at a further "
                         "accuracy cost")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam-search width (1 = greedy). Beams run as one "
+                        "compiled program with HF BeamSearchScorer "
+                        "semantics; a capability beyond the reference's "
+                        "greedy-only decode surfaces")
     return p.parse_args(argv)
 
 
@@ -36,7 +41,8 @@ def load_pipeline(args):
 
     return common.load_pipeline(
         args.model_path, tokenizer=common.get_tokenizer(args.tokenizer),
-        kv_quant=getattr(args, "kv_quant", "none"))
+        kv_quant=getattr(args, "kv_quant", "none"),
+        num_beams=getattr(args, "num_beams", 1))
 
 
 def main(argv=None):

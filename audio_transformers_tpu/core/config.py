@@ -285,10 +285,22 @@ class DecodeConfig(_ConfigBase):
     temperature: float = 0.0          # 0 => greedy
     no_repeat_ngram_size: int = 0
     repetition_penalty: float = 1.0
-    # Accepted for reference-API compatibility: the reference passes
-    # length_penalty=-0.5 to greedy generate (evaluate_simple.py:132),
-    # where HF ignores it (it only affects beam scoring, and no surface
-    # here or there decodes with beams) — a documented no-op, like there.
+    # Beam search width; 1 = greedy/sampling (models/whisper/beam.py —
+    # a capability BEYOND the reference, whose surfaces only decode
+    # greedily: evaluate_simple.py:125-135). HF-parity semantics
+    # (BeamSearchScorer): 2N candidates/step, EOS candidates ranked in
+    # the top N retire to a kept-N hypothesis set, length_penalty
+    # normalizes finished scores.
+    num_beams: int = 1
+    # Beam-search stop rule (HF early_stopping): True stops a batch row
+    # as soon as N hypotheses exist; False keeps going while the best
+    # running score could still beat the worst kept hypothesis.
+    early_stopping: bool = False
+    # Exponent on generated length when scoring finished beam hypotheses
+    # (>1 favors longer transcripts). Meaningful only under num_beams>1;
+    # for greedy decode it is accepted-and-ignored exactly like the
+    # reference, which passes length_penalty=-0.5 to greedy generate
+    # (evaluate_simple.py:132) where HF ignores it.
     length_penalty: float = 1.0
     return_timestamps: bool = False
     compression_ratio_threshold: Optional[float] = None

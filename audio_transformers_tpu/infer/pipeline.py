@@ -48,7 +48,8 @@ class EmotionWhisperPipeline:
                  mel_cfg: Optional[MelConfig] = None,
                  idx_to_label: Optional[Dict[int, str]] = None,
                  tokenizer=None, compute_dtype=jnp.bfloat16,
-                 suppress_ids=None, kv_quant: str = "none"):
+                 suppress_ids=None, kv_quant: str = "none",
+                 num_beams: int = 1):
         self.params = params
         self.cfg = cfg
         self.mel_cfg = mel_cfg or MelConfig.whisper(n_mels=cfg.whisper.n_mels)
@@ -60,6 +61,12 @@ class EmotionWhisperPipeline:
         # loop (DecodeConfig.kv_quant): ~30% faster per decoded token on
         # v5e, at approximate (not bit-exact) greedy parity.
         self.kv_quant = kv_quant
+        # num_beams > 1 decodes through the single-program beam search
+        # (models/whisper/beam.py; HF BeamSearchScorer semantics, shared
+        # cross-K/V across beams) — a capability beyond the reference's
+        # greedy-only surfaces. Beam decode is deterministic, so the
+        # compression-ratio temperature fallback does not apply to it.
+        self.num_beams = num_beams
         # Non-speech suppress list: real pretrained checkpoints rely on it
         # (the reference inherits it from generation_config.json through HF
         # generate); default by vocab, overridable from checkpoint metadata.
@@ -76,7 +83,8 @@ class EmotionWhisperPipeline:
     def from_checkpoint(cls, checkpoint_dir: str, *, tokenizer=None,
                         step: Optional[int] = None,
                         compute_dtype=jnp.bfloat16,
-                        kv_quant: str = "none"
+                        kv_quant: str = "none",
+                        num_beams: int = 1
                         ) -> "EmotionWhisperPipeline":
         ck = Checkpointer(checkpoint_dir)
         tree, meta, _ = ck.restore(step=step)
@@ -98,13 +106,15 @@ class EmotionWhisperPipeline:
         suppress = meta.get("suppress_ids")
         return cls(params, cfg, mel_cfg, idx_to_label, tokenizer=tokenizer,
                    compute_dtype=compute_dtype, kv_quant=kv_quant,
+                   num_beams=num_beams,
                    suppress_ids=tuple(suppress) if suppress else None)
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, tokenizer=None,
                     num_emotion_classes: int = 10,
                     compute_dtype=jnp.bfloat16,
-                    kv_quant: str = "none") -> "EmotionWhisperPipeline":
+                    kv_quant: str = "none",
+                    num_beams: int = 1) -> "EmotionWhisperPipeline":
         """Load an HF-format directory (the reference's save_pretrained
         output: pytorch_model.bin or model.safetensors)."""
         import json
@@ -159,7 +169,8 @@ class EmotionWhisperPipeline:
                 suppress = tuple(int(t) for t in gc["suppress_tokens"])
         return cls(params, cfg, idx_to_label=idx_to_label,
                    tokenizer=tokenizer, compute_dtype=compute_dtype,
-                   kv_quant=kv_quant, suppress_ids=suppress)
+                   kv_quant=kv_quant, num_beams=num_beams,
+                   suppress_ids=suppress)
 
     # ------------------------------------------------------------------
     def _prep(self, waveform: np.ndarray, sr: int) -> np.ndarray:
@@ -176,9 +187,18 @@ class EmotionWhisperPipeline:
             .astype(self.compute_dtype)
         enc = wm.encode_jit(self.params["whisper"], w, mel,
                             attn_impl="auto")
-        out = wdecode.generate_with_fallback(
-            self.params["whisper"], w, dcfg, enc, prompt=prompt,
-            suppress_ids=self.suppress_ids, tokenizer=self.tokenizer)
+        if dcfg.num_beams > 1:
+            # beam decode is deterministic and already explores
+            # alternatives — the compression-ratio temperature fallback
+            # is a greedy-degeneracy rescue and does not apply
+            from audio_transformers_tpu.models.whisper import beam as wbeam
+            out = wbeam.generate_beam(
+                self.params["whisper"], w, dcfg, enc, prompt=prompt,
+                suppress_ids=self.suppress_ids)
+        else:
+            out = wdecode.generate_with_fallback(
+                self.params["whisper"], w, dcfg, enc, prompt=prompt,
+                suppress_ids=self.suppress_ids, tokenizer=self.tokenizer)
         out["prompt_len"] = len(prompt)
         return out
 
@@ -204,7 +224,8 @@ class EmotionWhisperPipeline:
         dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
                             repetition_penalty=1.15,
                             no_repeat_ngram_size=3,
-                            kv_quant=self.kv_quant)
+                            kv_quant=self.kv_quant,
+                            num_beams=self.num_beams)
         bucket = 1
         while bucket < min(n, max_batch):
             bucket *= 2

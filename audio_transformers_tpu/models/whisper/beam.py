@@ -1,0 +1,275 @@
+"""Beam-search decoding as ONE compiled program.
+
+A capability BEYOND the reference: every reference surface decodes
+greedily (whisper_finetune/evaluate_simple.py:125-135 passes num_beams
+through HF generate but always leaves it at 1, and even hands greedy a
+length_penalty HF then ignores). Serving whisper in production usually
+wants beams; this implements HF's `BeamSearchScorer` semantics
+(transformers/generation/beam_search.py) TPU-natively:
+
+  - the whole search is a single `lax.while_loop` over fixed-size
+    buffers — no host sync per token, no dynamic shapes;
+  - beams live as B*N decoder rows; the dominant per-step cost, the
+    cross-attention K/V read, is NOT multiplied by N: the cross K/V
+    stays unexpanded at B rows and every beam of a batch row shares it
+    through a batched einsum (apply_decoder_step(beams=N));
+  - the kept-hypothesis set is a fixed (B, N) buffer with replace-the-
+    worst updates — exactly HF's keep-top-N `BeamHypotheses` pruning;
+  - per-step beam reordering gathers the self-KV cache rows (HF's
+    `_reorder_cache`), a fixed-shape `jnp.take`;
+  - the winning hypothesis' hidden states for emotion pooling are NOT
+    carried through the loop (reordering a (B*N, L, D) buffer every
+    step, or snapshotting rows at every hypothesis retirement, would
+    dominate) — they are recomputed afterwards with ONE teacher-forced
+    decoder pass over the winners, which is a few ms at batch 128
+    against a multi-second search.
+
+Token-for-token parity with HF `generate(num_beams=N)` is tested in
+tests/test_beam.py (greedy-loop-free: HF's own beam path is the oracle).
+
+HF semantics mirrored exactly:
+  - scores are log-softmaxed BEFORE the logit processors (beam mode
+    processes log-probs; greedy processes raw logits);
+  - 2N candidates per step; EOS candidates ranked in the top N retire
+    to the hypothesis set (worse-ranked EOS candidates are dropped),
+    non-EOS candidates fill the N continuing beams in rank order;
+  - a retired hypothesis scores sum_logprobs / generated_len**lp, with
+    generated_len counting the EOS;
+  - a batch row is done when it holds N hypotheses and (early_stopping)
+    or (the best running score cannot beat the worst kept hypothesis —
+    HF's lp>0 heuristic divides by the current length, lp<=0 by the
+    max length);
+  - at budget exhaustion the N running beams are offered to the
+    hypothesis set with the same replace-the-worst rule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import DecodeConfig, WhisperConfig
+from audio_transformers_tpu.models.whisper import model as wm
+from audio_transformers_tpu.models.whisper.decode import (_SPACE_TOKEN,
+                                                          _process_logits,
+                                                          build_prompt)
+
+_SCORE_FLOOR = -1.0e9   # HF's initial score for beams 1..N-1
+_EMPTY = -1.0e30        # empty hypothesis slot (any real score beats it)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "prompt", "suppress_ids",
+                     "begin_suppress_ids", "max_len"))
+def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
+                  enc: jax.Array, *,
+                  prompt: Optional[Tuple[int, ...]] = None,
+                  suppress_ids: Tuple[int, ...] = (),
+                  begin_suppress_ids: Optional[Tuple[int, ...]] = None,
+                  max_len: Optional[int] = None) -> dict:
+    """Beam-search decode from encoder states. Returns a dict shaped like
+    `decode.generate`'s so every evaluator/pipeline consumer works
+    unchanged:
+      tokens  (B, L) int32 — the best hypothesis, pad after EOS
+      hiddens (B, L, D)    — teacher-forced decoder hiddens of `tokens`
+      lengths (B,) int32   — valid token count incl. prompt and EOS
+    plus the full kept set for callers that want alternatives:
+      beam_tokens (B, N, L), beam_scores (B, N) — length-normalized,
+      empty slots at -1e30 — and beam_lengths (B, N).
+    """
+    n_beams = dcfg.num_beams
+    if n_beams < 2:
+        raise ValueError("generate_beam needs num_beams >= 2; use "
+                         "decode.generate for greedy/sampling")
+    if dcfg.temperature and dcfg.temperature > 0.0:
+        raise ValueError("beam search is deterministic; temperature>0 "
+                         "with num_beams>1 is not supported")
+    if prompt is None:
+        prompt = build_prompt(cfg, dcfg)
+    prompt_arr = jnp.asarray(prompt, jnp.int32)
+    p_len = len(prompt)
+    batch = enc.shape[0]
+    n_rows = batch * n_beams
+    vocab = cfg.vocab_size
+    lp = float(dcfg.length_penalty)
+    L = max_len or min(p_len + dcfg.max_new_tokens, cfg.max_target_positions)
+    if begin_suppress_ids is None:
+        begin_suppress_ids = ((_SPACE_TOKEN, cfg.eos_token_id)
+                              if dcfg.suppress_blank else ())
+
+    tokens = jnp.full((n_rows, L), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
+    # HF beam-score init: beam 0 at 0, the rest at -1e9 so the identical
+    # post-prompt beams don't fill the first top-k with duplicates
+    scores = jnp.full((batch, n_beams), _SCORE_FLOOR, jnp.float32)
+    scores = scores.at[:, 0].set(0.0)
+    self_quant = dcfg.kv_quant if L >= dcfg.self_kv_min else "none"
+    if self_quant == "int4":
+        self_quant = "int8"      # same rationale as decode.generate
+    cache = wm.init_cache(cfg, n_rows, max_len=L, dtype=enc.dtype,
+                          quant=self_quant)
+    # cross K/V stay at B rows — shared across beams inside the step
+    # (never pad_cross_time: beams always take the XLA einsum path)
+    cross = wm.precompute_cross_attention(params, cfg, enc,
+                                          quant=dcfg.kv_quant)
+    step_params = wm.prepare_decode_params(params, cfg, dtype=enc.dtype)
+
+    hyp_tokens = jnp.full((batch, n_beams, L), cfg.pad_token_id, jnp.int32)
+    hyp_scores = jnp.full((batch, n_beams), _EMPTY, jnp.float32)
+    hyp_lens = jnp.zeros((batch, n_beams), jnp.int32)
+    done = jnp.zeros((batch,), bool)
+
+    track_seen = dcfg.repetition_penalty != 1.0
+    if track_seen:
+        seen = jnp.zeros((n_rows, vocab), bool).at[
+            jnp.arange(n_rows), tokens[:, 0]].set(True)
+    else:
+        seen = jnp.zeros((n_rows, 1), bool)
+
+    b1 = jnp.arange(batch)
+    b2 = b1[:, None]
+    beam_iota = jnp.arange(n_beams)[None, :]
+
+    def _offer(hyp_tokens, hyp_scores, hyp_lens, accept, norm, hist,
+               length):
+        """Replace-the-worst hypothesis update (HF BeamHypotheses.add:
+        add iff fewer than N kept or score beats the worst; empty slots
+        at -1e30 make both one rule). accept/norm/length (B,), hist
+        (B, L)."""
+        worst_slot = jnp.argmin(hyp_scores, axis=1)            # (B,)
+        cur_worst = jnp.take_along_axis(hyp_scores,
+                                        worst_slot[:, None], 1)[:, 0]
+        do = accept & (norm > cur_worst)
+        cur_tok = hyp_tokens[b1, worst_slot]                   # (B, L)
+        hyp_tokens = hyp_tokens.at[b1, worst_slot].set(
+            jnp.where(do[:, None], hist, cur_tok))
+        hyp_scores = hyp_scores.at[b1, worst_slot].set(
+            jnp.where(do, norm, cur_worst))
+        hyp_lens = hyp_lens.at[b1, worst_slot].set(
+            jnp.where(do, length, hyp_lens[b1, worst_slot]))
+        return hyp_tokens, hyp_scores, hyp_lens
+
+    def cond(state):
+        tokens, scores, cache, hyp_t, hyp_s, hyp_l, done, seen = state
+        return (cache["index"] < L - 1) & ~jnp.all(done)
+
+    def body(state):
+        tokens, scores, cache, hyp_tokens, hyp_scores, hyp_lens, done, \
+            seen = state
+        i = cache["index"]
+        tok = jax.lax.dynamic_slice(tokens, (0, i), (n_rows, 1))[:, 0]
+        hidden, cache = wm.apply_decoder_step(
+            params, cfg, tok, cache, cross, step_params=step_params,
+            attn_impl="xla", beams=n_beams)
+        pos = i + 1
+
+        table = step_params["embed"]["table"].astype(hidden.dtype)
+        logits = jnp.einsum("bd,vd->bv", hidden, table,
+                            preferred_element_type=jnp.float32)
+        # HF beam mode: log-softmax FIRST, processors on the log-probs
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        row_done = jnp.repeat(done, n_beams)
+        logp = _process_logits(logp, tokens, pos, cfg, dcfg, p_len,
+                               suppress_ids, begin_suppress_ids,
+                               seen=seen if track_seen else None,
+                               finished=row_done)
+
+        cand = (logp + scores.reshape(n_rows, 1)).reshape(
+            batch, n_beams * vocab)
+        top_s, top_i = jax.lax.top_k(cand, 2 * n_beams)        # sorted
+        cand_beam = (top_i // vocab).astype(jnp.int32)
+        cand_tok = (top_i % vocab).astype(jnp.int32)
+        is_eos = cand_tok == cfg.eos_token_id
+
+        # continuing beams: the first N non-EOS candidates, in rank order
+        rank_ne = jnp.cumsum(~is_eos, axis=1)                  # 1-based
+        slot = jnp.where(~is_eos & (rank_ne <= n_beams),
+                         rank_ne - 1, n_beams)                 # N = drop
+        sel = jnp.zeros((batch, n_beams + 1), jnp.int32).at[b2, slot].set(
+            jnp.broadcast_to(jnp.arange(2 * n_beams)[None, :],
+                             slot.shape))[:, :n_beams]
+        nxt_scores = jnp.take_along_axis(top_s, sel, axis=1)
+        nxt_tok = jnp.take_along_axis(cand_tok, sel, axis=1)
+        parent = jnp.take_along_axis(cand_beam, sel, axis=1)
+
+        # EOS candidates ranked in the top N retire to the hypothesis
+        # set, in rank order (HF: worse-than-top-N EOS are dropped)
+        in_prompt = pos < p_len
+        gen_len = jnp.maximum(pos + 1 - p_len, 1).astype(jnp.float32)
+        denom = gen_len ** lp
+        tok3 = tokens.reshape(batch, n_beams, L)
+        eos_col = jnp.full((batch, 1), cfg.eos_token_id, jnp.int32)
+        for j in range(n_beams):
+            accept = is_eos[:, j] & ~done & ~in_prompt
+            hist = jax.lax.dynamic_update_slice(
+                tok3[b1, cand_beam[:, j]], eos_col, (0, pos))
+            hyp_tokens, hyp_scores, hyp_lens = _offer(
+                hyp_tokens, hyp_scores, hyp_lens, accept,
+                top_s[:, j] / denom, hist, pos + 1)
+
+        # stop rule (HF BeamHypotheses.is_done; the early_stopping=False
+        # heuristic divides the best running score by the CURRENT
+        # generated length — the max-length variant is HF's "never" mode,
+        # not implemented here)
+        full = jnp.sum(hyp_scores > _EMPTY / 2, axis=1) == n_beams
+        if dcfg.early_stopping:
+            newly = full
+        else:
+            attain = top_s[:, 0] / denom
+            newly = full & (jnp.min(hyp_scores, axis=1) >= attain)
+        done = done | (newly & ~in_prompt)
+
+        # forced-prompt phase and finished batches: freeze the beams
+        forced = prompt_arr[jnp.minimum(pos, p_len - 1)]
+        freeze = in_prompt | done[:, None]
+        nxt_tok = jnp.where(done[:, None], cfg.pad_token_id,
+                            jnp.where(in_prompt, forced, nxt_tok))
+        parent = jnp.where(freeze, beam_iota, parent)
+        nxt_scores = jnp.where(freeze, scores, nxt_scores)
+
+        # reorder every per-beam buffer by the chosen parents (HF
+        # _reorder_cache), then append this step's tokens
+        flat_parent = (b2 * n_beams + parent).reshape(-1)
+        tokens = jnp.take(tokens, flat_parent, axis=0)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
+        cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
+                     if isinstance(v, list) else v)
+                 for k, v in cache.items()}
+        if track_seen:
+            seen = jnp.take(seen, flat_parent, axis=0)
+            seen = seen.at[jnp.arange(n_rows),
+                           nxt_tok.reshape(-1)].set(True)
+        return (tokens, nxt_scores, cache, hyp_tokens, hyp_scores,
+                hyp_lens, done, seen)
+
+    tokens, scores, cache, hyp_tokens, hyp_scores, hyp_lens, done, seen = \
+        jax.lax.while_loop(cond, body, (tokens, scores, cache, hyp_tokens,
+                                        hyp_scores, hyp_lens, done, seen))
+
+    # budget exhausted: offer the N running beams (HF finalize), beam 0
+    # first — no EOS is appended (the buffer is exactly full)
+    fin_len = cache["index"] + 1
+    denom_f = jnp.maximum(fin_len - p_len, 1).astype(jnp.float32) ** lp
+    tok3 = tokens.reshape(batch, n_beams, L)
+    for n in range(n_beams):
+        hyp_tokens, hyp_scores, hyp_lens = _offer(
+            hyp_tokens, hyp_scores, hyp_lens, ~done,
+            scores[:, n] / denom_f, tok3[:, n], fin_len)
+
+    best = jnp.argmax(hyp_scores, axis=1)
+    out_tokens = hyp_tokens[b1, best]
+    out_lens = hyp_lens[b1, best]
+
+    # hiddens for pooling: ONE teacher-forced pass over the winners (see
+    # module docstring — carrying hiddens through the loop would dominate)
+    hiddens = wm.apply_decoder(params, cfg, enc, out_tokens,
+                               attn_impl="xla").astype(enc.dtype)
+
+    return {"tokens": out_tokens, "hiddens": hiddens, "lengths": out_lens,
+            "beam_tokens": hyp_tokens, "beam_scores": hyp_scores,
+            "beam_lengths": hyp_lens}

@@ -419,7 +419,8 @@ def pad_cross_time(cross: dict) -> dict:
 def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                        cache: dict, cross: dict, *,
                        step_params: Optional[dict] = None,
-                       attn_impl: str = "auto") -> Tuple[jax.Array, dict]:
+                       attn_impl: str = "auto",
+                       beams: int = 1) -> Tuple[jax.Array, dict]:
     """One decode step. token: (B,) int32; returns (hidden (B, d), cache).
 
     Writes this step's K/V at cache["index"], attends over the valid
@@ -433,8 +434,19 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
     on TPU, "xla" elsewhere (the kernel runs interpreted off-TPU).
     Self-attention always stays on the XLA path — the cache is short and
     measures at ~3% of the step (scripts/decode_phase_bench.py).
+
+    beams > 1: token and cache hold B*beams rows while `cross` holds the
+    UNEXPANDED B encoder rows — every beam of a batch row shares its
+    cross K/V through a batched einsum (dot_general with batch dims
+    (b, h) and the beam axis free on q), so the dominant per-step K/V
+    read happens once per batch row, not once per beam. Beam decode
+    always takes the XLA cross path: the fused kernel is single-query
+    (M=1, VPU-bound); at M=beams the MXU batched matmul is the right
+    engine anyway.
     """
     attn_impl = resolve_step_attn(attn_impl)
+    if beams > 1 and attn_impl == "fused":
+        attn_impl = "xla"
     sp = step_params if step_params is not None \
         else prepare_decode_params(params, cfg)
     idx = cache["index"]
@@ -534,6 +546,68 @@ def apply_decoder_step(params: dict, cfg: WhisperConfig, token: jax.Array,
                 v_scale=cross["v_scale"][li] if cross_quant else None,
                 t_valid=cross.get("t_valid"),
                 scale=scale).astype(x.dtype)
+        elif beams > 1:
+            # Beam decode: q carries B*beams rows, cross K/V only B — a
+            # batched einsum with the beam axis free on q shares each
+            # (b, h) K/V read across all beams (dot_general batch dims
+            # (b, h), M=beams).
+            nb = b // beams
+            cqb = cq.reshape(nb, beams, h_heads, hd)
+            kq, vq = cross["k"][li], cross["v"][li]
+            int4 = cross_quant and cross["k_scale"][li].ndim == 4
+            t_val = cross.get("t_valid")
+            if t_val is not None and not int4 \
+                    and kq.shape[-1] != t_val:
+                # the XLA einsums below do not mask kernel-block padding,
+                # and slicing a loop-invariant operand here would copy the
+                # whole cache every step
+                raise ValueError("beam decode expects unpadded cross K/V "
+                                 "(do not pad_cross_time for beams)")
+            if int4:
+                # int4 + beams: dequantize per step (the nibble-packed
+                # layout has no beam-batched einsum). Correctness path —
+                # prefer kv_quant="int8" when beam-decoding for speed.
+                from audio_transformers_tpu.ops.decode_attention import \
+                    unpack_int4
+                ksq = cross["k_scale"][li]
+                if t_val is not None:
+                    kq = kq[..., : t_val // 2]
+                    vq = vq[..., : t_val // 2]
+                    ksq = ksq[..., : t_val // 2]
+                k_s = ksq.transpose(0, 1, 3, 2).reshape(
+                    *ksq.shape[:2], -1)                     # (B,H,T)
+                kf = unpack_int4(kq).astype(jnp.float32) \
+                    * k_s[:, :, None, :]
+                vf = unpack_int4(vq).astype(jnp.float32) \
+                    * cross["v_scale"][li][:, :, :, None]
+                clog = jnp.einsum("bnhd,bhdk->bnhk",
+                                  cqb.astype(jnp.float32), kf) * scale
+                cp = jax.nn.softmax(clog, axis=-1)
+                cattn = jnp.einsum("bnhk,bhdk->bnhd", cp, vf)
+            elif cross_quant:
+                # int8: quantize q per (b, beam, h) row, int8 QK, fold
+                # scales back in fp32; PV dequantizes V inside the dot.
+                cq32 = cqb.astype(jnp.float32)
+                q_scale = jnp.maximum(jnp.max(jnp.abs(cq32), axis=-1,
+                                              keepdims=True), 1e-6) / 127.0
+                q_i8 = jnp.round(cq32 / q_scale).astype(jnp.int8)
+                cl_i32 = jnp.einsum("bnhd,bhdk->bnhk", q_i8, kq,
+                                    preferred_element_type=jnp.int32)
+                clog = (cl_i32.astype(jnp.float32) * q_scale
+                        * cross["k_scale"][li][:, None, :, :] * scale)
+                cp = jax.nn.softmax(clog, axis=-1)
+                ca = jnp.einsum("bnhk,bhdk->bnhd", cp,
+                                vq.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+                cattn = ca * cross["v_scale"][li][:, None, :, :]
+            else:
+                clog = jnp.einsum("bnhd,bhdk->bnhk", cqb, kq,
+                                  preferred_element_type=jnp.float32
+                                  ) * scale
+                cp = jax.nn.softmax(clog, axis=-1).astype(vq.dtype)
+                cattn = jnp.einsum("bnhk,bhdk->bnhd", cp, vq,
+                                   preferred_element_type=jnp.float32)
+            cattn = cattn.astype(x.dtype).reshape(b, h_heads, hd)
         elif cross_quant and cross["k_scale"][li].ndim == 4:
             # XLA int4 fallback (off-TPU tests): dequantize via the
             # kernel's oracle — perf is irrelevant on this path.

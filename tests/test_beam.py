@@ -1,0 +1,275 @@
+"""Beam-search parity tests.
+
+The oracle is HF's OWN beam path — `GenerationMixin.generate` with
+`num_beams=N` (BeamSearchScorer + beam reorder + length-penalty
+finalize) over the same random-weight torch whisper — so every
+semantic detail (2N candidates, top-N EOS retirement, replace-the-worst
+hypothesis pruning, the early_stopping=False stop heuristic, finalize
+of budget-exhausted beams) is checked token-for-token, not re-derived.
+
+Beam search is a capability beyond the reference (its surfaces decode
+greedily; whisper_finetune/evaluate_simple.py:125-135).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_transformers_tpu.core.config import DecodeConfig
+from audio_transformers_tpu.models import whisper as wm
+from audio_transformers_tpu.models.whisper import beam as wbeam
+from audio_transformers_tpu.models.whisper import decode as wdecode
+from audio_transformers_tpu.models.whisper import model as wmodel
+from audio_transformers_tpu.models.whisper.load import (config_from_hf,
+                                                        from_torch_state_dict)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=500, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=50, max_target_positions=64,
+        pad_token_id=0, bos_token_id=0, eos_token_id=0,
+        decoder_start_token_id=1,
+    )
+    torch.manual_seed(0)
+    tm = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params, _ = from_torch_state_dict(tm.state_dict(), cfg)
+    return tm, cfg, params
+
+
+def _mel(batch, t, n_mels, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, t, n_mels)).astype(np.float32)
+
+
+def _hf_beam(tm, mel_np, prompt, max_new, num_beams, *, length_penalty=1.0,
+             early_stopping=False, processors=()):
+    import torch
+    from transformers import GenerationConfig
+    from transformers.generation.logits_process import LogitsProcessorList
+    from transformers.generation.utils import GenerationMixin
+
+    gc = GenerationConfig(
+        max_new_tokens=max_new, do_sample=False, num_beams=num_beams,
+        length_penalty=length_penalty, early_stopping=early_stopping,
+        pad_token_id=0, eos_token_id=0, decoder_start_token_id=1)
+    ids = torch.tensor([list(prompt)] * mel_np.shape[0], dtype=torch.long)
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            tm, input_features=torch.from_numpy(mel_np.transpose(0, 2, 1)),
+            decoder_input_ids=ids, generation_config=gc,
+            logits_processor=LogitsProcessorList(list(processors)))
+    return out.numpy()
+
+
+def _compare(ours: dict, want: np.ndarray, prompt_len: int):
+    got = np.asarray(ours["tokens"])
+    lengths = np.asarray(ours["lengths"])
+    for b in range(want.shape[0]):
+        n = min(int(lengths[b]), want.shape[1])
+        assert n > prompt_len, (b, n)
+        np.testing.assert_array_equal(
+            got[b, :n], want[b, :n],
+            err_msg=f"row {b}: ours {got[b, :n].tolist()} "
+                    f"vs hf {want[b, :n].tolist()}")
+
+
+class TestBeamHFParity:
+    @pytest.mark.parametrize("num_beams,length_penalty,early_stopping", [
+        (2, 1.0, False),
+        (3, 1.0, False),
+        (3, 2.0, False),
+        (3, 0.6, True),
+        (4, 1.0, True),
+    ])
+    def test_matches_hf_beam_search(self, hf_pair, num_beams,
+                                    length_penalty, early_stopping):
+        tm, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=11)
+        prompt = (cfg.decoder_start_token_id,)
+        max_new = 16
+        want = _hf_beam(tm, mel, prompt, max_new, num_beams,
+                        length_penalty=length_penalty,
+                        early_stopping=early_stopping)
+        dcfg = DecodeConfig(max_new_tokens=max_new, num_beams=num_beams,
+                            length_penalty=length_penalty,
+                            early_stopping=early_stopping)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        out = wbeam.generate_beam(params, cfg, dcfg, enc, prompt=prompt,
+                                  begin_suppress_ids=())
+        _compare(out, want, len(prompt))
+
+    @pytest.mark.parametrize("ngram,penalty", [(3, 1.0), (0, 1.15),
+                                               (3, 1.15)])
+    def test_matches_hf_with_processors(self, hf_pair, ngram, penalty):
+        """Beam mode applies the processor chain on LOG-PROBS (HF beam
+        semantics), unlike greedy's raw logits — parity through the
+        repetition-penalty + no-repeat-ngram chain pins that down."""
+        from transformers.generation.logits_process import (
+            NoRepeatNGramLogitsProcessor, RepetitionPenaltyLogitsProcessor)
+
+        tm, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=7)
+        prompt = (cfg.decoder_start_token_id,)
+        procs = []
+        if penalty != 1.0:
+            procs.append(RepetitionPenaltyLogitsProcessor(penalty))
+        if ngram:
+            procs.append(NoRepeatNGramLogitsProcessor(ngram))
+        want = _hf_beam(tm, mel, prompt, 14, 3, processors=procs)
+        dcfg = DecodeConfig(max_new_tokens=14, num_beams=3,
+                            no_repeat_ngram_size=ngram,
+                            repetition_penalty=penalty)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        out = wbeam.generate_beam(params, cfg, dcfg, enc, prompt=prompt,
+                                  begin_suppress_ids=())
+        _compare(out, want, len(prompt))
+
+
+class TestBeamSemantics:
+    def test_rejects_single_beam_and_temperature(self, hf_pair):
+        _, cfg, params = hf_pair
+        enc = wm.encode(params, cfg, jnp.asarray(
+            _mel(1, 2 * cfg.max_source_positions, cfg.n_mels)))
+        with pytest.raises(ValueError, match="num_beams"):
+            wbeam.generate_beam(params, cfg, DecodeConfig(num_beams=1),
+                                enc)
+        with pytest.raises(ValueError, match="temperature"):
+            wbeam.generate_beam(
+                params, cfg,
+                DecodeConfig(num_beams=3, temperature=0.7), enc)
+
+    def test_rejects_padded_cross(self, hf_pair):
+        _, cfg, params = hf_pair
+        enc = wm.encode(params, cfg, jnp.asarray(
+            _mel(2, 2 * cfg.max_source_positions, cfg.n_mels)))
+        cross = wm.precompute_cross_attention(params, cfg, enc)
+        padded = wm.pad_cross_time(cross)
+        sp = wm.prepare_decode_params(params, cfg)
+        tok = jnp.zeros((6,), jnp.int32)
+        cache = wm.init_cache(cfg, 6, max_len=8)
+        with pytest.raises(ValueError, match="unpadded"):
+            wmodel.apply_decoder_step(params, cfg, tok, cache, padded,
+                                      step_params=sp, attn_impl="xla",
+                                      beams=3)
+
+    def test_beam_score_at_least_greedy(self, hf_pair):
+        """The winning hypothesis' length-normalized log-prob must be >=
+        the greedy transcript's under the same model (beam explores a
+        superset)."""
+        _, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=3)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        prompt = (cfg.decoder_start_token_id,)
+        max_new = 12
+        g = wdecode.generate(params, cfg, DecodeConfig(
+            max_new_tokens=max_new), enc, prompt=prompt,
+            begin_suppress_ids=())
+        b = wbeam.generate_beam(params, cfg, DecodeConfig(
+            max_new_tokens=max_new, num_beams=3), enc, prompt=prompt,
+            begin_suppress_ids=())
+
+        def norm_score(tokens, lengths):
+            # teacher-forced length-normalized log-prob of each row
+            hid = wmodel.apply_decoder(params, cfg, enc,
+                                       jnp.asarray(tokens))
+            logits = wmodel.logits_from_hidden(params, hid)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tot = []
+            for r in range(tokens.shape[0]):
+                n = int(lengths[r])
+                lp_sum = sum(float(logp[r, t - 1, int(tokens[r, t])])
+                             for t in range(1, n))
+                tot.append(lp_sum / max(n - 1, 1))
+            return tot
+
+        gs = norm_score(np.asarray(g["tokens"]), np.asarray(g["lengths"]))
+        bs = norm_score(np.asarray(b["tokens"]), np.asarray(b["lengths"]))
+        for r, (a, c) in enumerate(zip(gs, bs)):
+            assert c >= a - 1e-4, (r, c, a)
+
+    def test_output_shape_contract(self, hf_pair):
+        """The return dict mirrors decode.generate so evaluators work
+        unchanged; hiddens come from the teacher-forced winner pass."""
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=5)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        dcfg = DecodeConfig(max_new_tokens=8, num_beams=3)
+        out = wbeam.generate_beam(params, cfg, dcfg, enc,
+                                  prompt=(cfg.decoder_start_token_id,),
+                                  begin_suppress_ids=())
+        L = 1 + 8
+        assert out["tokens"].shape == (2, L)
+        assert out["hiddens"].shape == (2, L, cfg.d_model)
+        assert out["lengths"].shape == (2,)
+        assert out["beam_tokens"].shape == (2, 3, L)
+        assert out["beam_scores"].shape == (2, 3)
+        lengths = np.asarray(out["lengths"])
+        tokens = np.asarray(out["tokens"])
+        for b in range(2):
+            if lengths[b] < L:
+                assert tokens[b, lengths[b] - 1] == cfg.eos_token_id
+                assert (tokens[b, lengths[b]:] == cfg.pad_token_id).all()
+
+
+class TestBeamSharedCrossKV:
+    """apply_decoder_step(beams=N) keeps cross K/V at B rows and shares
+    them through a batched einsum — must equal the expanded-K/V step."""
+
+    @pytest.mark.parametrize("quant", ["none", "int8", "int4"])
+    def test_matches_expanded_cross(self, hf_pair, quant):
+        _, cfg, params = hf_pair
+        n_beams, batch = 3, 2
+        mel = _mel(batch, 2 * cfg.max_source_positions, cfg.n_mels,
+                   seed=17)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        cross = wm.precompute_cross_attention(params, cfg, enc,
+                                              quant=quant)
+        expanded = {
+            k: ([jnp.repeat(a, n_beams, axis=0) for a in v]
+                if isinstance(v, list) else v)
+            for k, v in cross.items()}
+        sp = wm.prepare_decode_params(params, cfg)
+        rows = batch * n_beams
+        tok = jnp.asarray(np.arange(rows) % 5 + 2, jnp.int32)
+        h_beam, _ = wmodel.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, rows, max_len=8), cross,
+            step_params=sp, attn_impl="xla", beams=n_beams)
+        h_exp, _ = wmodel.apply_decoder_step(
+            params, cfg, tok, wm.init_cache(cfg, rows, max_len=8),
+            expanded, step_params=sp, attn_impl="xla")
+        # int8: the expanded (single-query) path quantizes the
+        # PROBABILITIES for its int8xint8 PV contraction; the beams path
+        # keeps them f32 and dequantizes V inside the dot — closer to
+        # exact, so the two agree only to quantization noise.
+        tol = dict(rtol=2e-2, atol=2e-3) if quant == "int8" \
+            else dict(rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(h_beam), np.asarray(h_exp),
+                                   **tol)
+
+    @pytest.mark.parametrize("quant", ["int8", "int4"])
+    def test_quantized_beam_decode_close_to_exact(self, hf_pair, quant):
+        _, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=23)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        base = DecodeConfig(max_new_tokens=10, num_beams=3)
+        prompt = (cfg.decoder_start_token_id,)
+        out = wbeam.generate_beam(params, cfg, base, enc, prompt=prompt,
+                                  begin_suppress_ids=())
+        out_q = wbeam.generate_beam(params, cfg,
+                                    base.replace(kv_quant=quant), enc,
+                                    prompt=prompt, begin_suppress_ids=())
+        t, tq = np.asarray(out["tokens"]), np.asarray(out_q["tokens"])
+        agree = (t == tq).mean()
+        assert agree >= 0.7, (agree, t, tq)

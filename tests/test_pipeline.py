@@ -243,6 +243,27 @@ class TestEvalAndInference:
         assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
         assert seg["emotion"] in {"happy", "sad", "calm", "angry"}
 
+    def test_pipeline_analyze_with_beams(self, setup):
+        """num_beams routes _decode through the single-program beam
+        search (beam decode skips the temperature fallback); the analyze
+        contract is unchanged."""
+        from audio_transformers_tpu.infer.pipeline import (
+            EmotionWhisperPipeline)
+        from audio_transformers_tpu.utils.audio import synth_clip
+
+        tok, mel_cfg, ds, params = setup
+        pipe = EmotionWhisperPipeline(
+            params, TINY, mel_cfg,
+            idx_to_label={0: "happy", 1: "sad", 2: "calm", 3: "angry"},
+            tokenizer=tok, compute_dtype=jnp.float32, num_beams=2)
+        wav = synth_clip(2.1, 16000)
+        out = pipe.analyze(wav, 16000, segment_duration=1.0,
+                           max_new_tokens=6)
+        assert isinstance(out["transcription"], str)
+        assert len(out["segments"]) == 3
+        seg = out["segments"][0]
+        assert abs(sum(seg["emotion_probs"].values()) - 1.0) < 1e-4
+
     def test_analyze_windows_bucket_never_exceeds_max_batch(self, setup):
         """max_batch is a device-memory bound — the power-of-two bucket
         growth must not overshoot a non-power-of-two cap (n=7, cap 3
