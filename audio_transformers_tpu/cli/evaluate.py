@@ -30,6 +30,10 @@ def parse_args(argv=None):
                         "dominant per-step HBM read (~30%% faster per token, "
                         "approximate parity), int4 quarters it at a further "
                         "accuracy cost")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam-search width (1 = the reference's greedy "
+                        "protocol; beams disable the compression-ratio "
+                        "temperature fallback, which is a greedy rescue)")
     return p.parse_args(argv)
 
 
@@ -57,7 +61,7 @@ def main(argv=None):
     dcfg = DecodeConfig(max_new_tokens=256, return_timestamps=True,
                         no_repeat_ngram_size=3, repetition_penalty=1.1,
                         compression_ratio_threshold=2.4,
-                        kv_quant=args.kv_quant)
+                        kv_quant=args.kv_quant, num_beams=args.num_beams)
     result = evaluate_segment_level(
         pipe.params, pipe.cfg, pipe.mel_cfg,
         test_ds.batcher(args.batch_size), idx_to_style,

@@ -30,6 +30,9 @@ def parse_args(argv=None):
                         "dominant per-step HBM read (~30%% faster per token, "
                         "approximate parity), int4 quarters it at a further "
                         "accuracy cost")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam-search width (1 = the reference's greedy "
+                        "protocol)")
     return p.parse_args(argv)
 
 
@@ -54,7 +57,7 @@ def main(argv=None):
 
     dcfg = DecodeConfig(max_new_tokens=args.max_new_tokens,
                         no_repeat_ngram_size=3, repetition_penalty=1.15,
-                        kv_quant=args.kv_quant)
+                        kv_quant=args.kv_quant, num_beams=args.num_beams)
     result = evaluate_sequence_level(
         pipe.params, pipe.cfg, pipe.mel_cfg,
         test_ds.batcher(args.batch_size), idx_to_style,

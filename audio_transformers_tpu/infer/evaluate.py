@@ -45,6 +45,13 @@ def _decode_batch(params, cfg: EmotionWhisperConfig, mel_cfg: MelConfig,
                   precision=mel_precision_for(compute_dtype)
                   ).astype(compute_dtype)
     enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
+    if dcfg.num_beams > 1:
+        # beam decode is deterministic; the compression-ratio temperature
+        # fallback is a greedy-degeneracy rescue and does not apply
+        from audio_transformers_tpu.models.whisper import beam as wbeam
+        return wbeam.generate_beam(params["whisper"], w, dcfg, enc,
+                                   prompt=prompt,
+                                   suppress_ids=tuple(suppress_ids))
     # generate_with_fallback is a plain generate when
     # dcfg.compression_ratio_threshold is unset
     out = wdecode.generate_with_fallback(params["whisper"], w, dcfg, enc,

@@ -201,6 +201,27 @@ class TestEvalAndInference:
         assert len(lines) == res["samples"]
         assert all(len(line.split("\t")) == 4 for line in lines)
 
+    def test_sequence_eval_with_beams(self, setup, tmp_path):
+        """dcfg.num_beams routes the shared _decode_batch through beam
+        search (every evaluator surface inherits it); artifact formats
+        are unchanged."""
+        from audio_transformers_tpu.core.config import DecodeConfig
+        from audio_transformers_tpu.infer.evaluate import (
+            evaluate_sequence_level)
+
+        tok, mel_cfg, ds, params = setup
+        _, _, test_ds, style_to_idx = ds.splits()
+        idx_to_style = {v: k for k, v in style_to_idx.items()}
+        dcfg = DecodeConfig(max_new_tokens=8, num_beams=2,
+                            repetition_penalty=1.15)
+        res = evaluate_sequence_level(
+            params, TINY, mel_cfg, test_ds.batcher(4), idx_to_style,
+            tokenizer=tok, output_dir=str(tmp_path), dcfg=dcfg,
+            compute_dtype=jnp.float32)
+        assert res["samples"] == test_ds.num_samples
+        mtxt = open(tmp_path / "metrics.txt").read()
+        assert "accuracy\t" in mtxt and "weighted_f1\t" in mtxt
+
     def test_segment_eval_artifacts(self, setup, tmp_path):
         from audio_transformers_tpu.core.config import DecodeConfig
         from audio_transformers_tpu.infer.evaluate import (

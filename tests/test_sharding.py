@@ -110,6 +110,37 @@ def test_decode_under_tensor_parallel_sharding():
     np.testing.assert_array_equal(got, want)
 
 
+def test_beam_decode_under_data_parallel_sharding():
+    """Beam search with the batch sharded over 8 devices equals the
+    single-device beam decode token-for-token — the beam state (scores,
+    hypothesis buffers, per-step cache reorder) is all batch-major, so
+    DP sharding is a layout."""
+    from audio_transformers_tpu.models.whisper import beam as wbeam
+
+    mesh = build_mesh()
+    w = TINY.whisper
+    params = emo.init(jax.random.PRNGKey(3), TINY)["whisper"]
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal(
+        (8, 2 * w.max_source_positions, w.n_mels)).astype(np.float32))
+    dcfg = DecodeConfig(max_new_tokens=8, num_beams=3,
+                        repetition_penalty=1.15)
+    prompt = (w.decoder_start_token_id,)
+
+    enc = wm.encode(params, w, mel)
+    want = wbeam.generate_beam(params, w, dcfg, enc, prompt=prompt,
+                               begin_suppress_ids=())
+
+    enc_s = jax.device_put(enc, NamedSharding(mesh, P("data", None, None)))
+    p_rep = jax.device_put(params, replicated(mesh))
+    got = wbeam.generate_beam(p_rep, w, dcfg, enc_s, prompt=prompt,
+                              begin_suppress_ids=())
+    np.testing.assert_array_equal(np.asarray(got["tokens"]),
+                                  np.asarray(want["tokens"]))
+    np.testing.assert_array_equal(np.asarray(got["lengths"]),
+                                  np.asarray(want["lengths"]))
+
+
 def test_bf16_train_step_runs():
     """bf16 compute through grad (the conv-VJP dtype bug class only
     appears under jax.grad with mixed precision)."""
