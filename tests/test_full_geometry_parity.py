@@ -176,3 +176,49 @@ def test_timestamp_parity_real_geometry(tiny_pair):
     # the decode really exercised the timestamp vocab
     toks = np.asarray(out["tokens"])
     assert (toks[:, len(prompt)] >= cfg.timestamp_begin_id).all()
+
+
+def test_beam_parity_real_geometry(tiny_pair):
+    """Beam search (num_beams=3, suppress table + begin-suppress) vs HF's
+    own beam path at real vocab — exercises the 3x51865-wide candidate
+    top-k, EOS retirement with the real eos id 50257, and the shared
+    cross-K/V beam einsum at whisper-tiny geometry."""
+    import torch
+    from transformers import GenerationConfig
+    from transformers.generation.logits_process import (
+        LogitsProcessorList, SuppressTokensAtBeginLogitsProcessor,
+        SuppressTokensLogitsProcessor)
+    from transformers.generation.utils import GenerationMixin
+
+    from audio_transformers_tpu.models.whisper import beam as wbeam
+
+    tm, cfg, params, mel = tiny_pair
+    dcfg = DecodeConfig(max_new_tokens=MAX_NEW, num_beams=3,
+                        return_timestamps=False,
+                        forced_language_token=cfg.lang_en_token_id,
+                        forced_task_token=cfg.transcribe_token_id)
+    prompt = wdecode.build_prompt(cfg, dcfg)
+    supp = wdecode.default_suppress_ids(cfg)
+
+    gc = GenerationConfig(
+        max_new_tokens=MAX_NEW, do_sample=False, num_beams=3,
+        length_penalty=1.0, early_stopping=False,
+        pad_token_id=50257, eos_token_id=50257,
+        decoder_start_token_id=50258)
+    procs = LogitsProcessorList([
+        SuppressTokensLogitsProcessor(list(supp), device="cpu"),
+        SuppressTokensAtBeginLogitsProcessor([220, 50257],
+                                             begin_index=len(prompt),
+                                             device="cpu"),
+    ])
+    ids = torch.tensor([list(prompt)] * mel.shape[0], dtype=torch.long)
+    with torch.no_grad():
+        want = GenerationMixin.generate(
+            tm, input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=ids, generation_config=gc,
+            logits_processor=procs).numpy()
+
+    enc = wm.encode(params, cfg, jnp.asarray(mel))
+    out = wbeam.generate_beam(params, cfg, dcfg, enc, prompt=prompt,
+                              suppress_ids=supp)
+    _compare(out, want, len(prompt))
