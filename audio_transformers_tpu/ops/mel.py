@@ -164,7 +164,10 @@ def reference_log_mel(waveform: np.ndarray, cfg: MelConfig) -> np.ndarray:
 
 def frame_signal(wav: jax.Array, cfg: MelConfig) -> jax.Array:
     """wav (B, N) -> frames (B, T_full, n_fft). T_full includes the final
-    frame even when cfg.drop_last_frame (the drop happens in the epilogue)."""
+    frame even when cfg.drop_last_frame (the drop happens in the epilogue).
+
+    Kept as the framing oracle for tests/alternative consumers; the XLA
+    mel path itself no longer materializes frames (see log_mel_xla)."""
     if cfg.center:
         pad = cfg.n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
@@ -224,16 +227,30 @@ def _matmul_precision(precision: str):
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def log_mel_xla(waveform: jax.Array, cfg: MelConfig,
                 precision: str = "highest") -> jax.Array:
-    """waveform (B, num_samples) f32 -> (B, frames, n_mels) f32 features."""
+    """waveform (B, num_samples) f32 -> (B, frames, n_mels) f32 features.
+
+    Framing + rDFT run as ONE strided convolution (n_fft taps, hop
+    stride, the windowed cos||sin bases as 2*n_freqs filters): XLA's TPU
+    conv lowering streams the waveform through VMEM, so the (B, T,
+    n_fft) frames buffer the earlier gather+einsum formulation
+    materialized (614 MB at b128/30 s, written once and read twice)
+    never touches HBM. Bit-identical to the einsum formulation at both
+    precisions and 1.55x faster (scripts/mel_conv_ab.py, v5e b128:
+    10.31 -> 6.65 ms at precision="high", 12.97 -> 9.13 at "highest")."""
     hi = _matmul_precision(precision)
     wcos, wsin, fb = (jnp.asarray(a) for a in _windowed_bases(cfg))
     waveform = _ensure_min_length(waveform.astype(jnp.float32), cfg)
-    frames = frame_signal(waveform.astype(jnp.float32), cfg)
-    re = jnp.einsum("btn,nf->btf", frames, wcos, precision=hi,
-                    preferred_element_type=jnp.float32)
-    im = jnp.einsum("btn,nf->btf", frames, wsin, precision=hi,
-                    preferred_element_type=jnp.float32)
-    power = re * re + im * im
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        waveform = jnp.pad(waveform, ((0, 0), (pad, pad)),
+                           mode=cfg.pad_mode)
+    kernel = jnp.concatenate([wcos, wsin], axis=1)[:, None, :]
+    spec = jax.lax.conv_general_dilated(
+        waveform[:, :, None], kernel,
+        window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=hi)
+    nf = cfg.n_freqs
+    power = spec[..., :nf] ** 2 + spec[..., nf:] ** 2
     if cfg.power == 1.0:
         power = jnp.sqrt(power)
     mel = jnp.einsum("btf,fm->btm", power, fb, precision=hi,
@@ -247,12 +264,14 @@ def log_mel(waveform: jax.Array, cfg: MelConfig, *,
     """Batched log-mel features. implementation: auto|xla|pallas.
 
     "auto" on TPU is batch-dependent (measured on v5e, whisper params,
-    30 s clips): the fused Pallas kernel dominates at small batch
-    (0.5 ms vs 7.1 ms at batch 8 — XLA pays a fixed framing/gather cost)
-    but the XLA einsum formulation overtakes it at large batch
-    (13.4 ms vs 16.3 ms at batch 128, crossover ~batch 90; at
-    precision="high" 11.1 vs 11.4-12.2 — XLA still edges it out). Both
-    paths are golden-tested against the HF/torchaudio references.
+    30 s clips, same-process interleaved A/B): the fused Pallas kernel
+    dominates at small-to-mid batch (b8 0.1 vs 9.8 ms, b64 7.3 vs 10.1,
+    b96 9.4 vs 13.0 — all precision="high") but the conv-formulated XLA
+    path overtakes it at batch 128 (6.9 vs 11.6; the strided conv hits
+    its tiling sweet spot when the batch fills the MXU dim), so the
+    crossover sits at 128 (scripts/mel_ab.py, re-swept after the conv
+    reformulation of log_mel_xla). Both paths are golden-tested against
+    the HF/torchaudio references.
 
     precision: "highest" (default; exact-fp32 features, the reference
     parity anchor) or "high" (3-pass bf16 rDFT/mel matmuls) — pass
@@ -262,7 +281,7 @@ def log_mel(waveform: jax.Array, cfg: MelConfig, *,
     cast; 13.2 -> 11.1 ms)."""
     if implementation == "auto":
         if jax.default_backend() == "tpu":
-            implementation = "pallas" if waveform.shape[0] < 96 else "xla"
+            implementation = "pallas" if waveform.shape[0] < 128 else "xla"
         else:
             implementation = "xla"
     if implementation == "pallas":
