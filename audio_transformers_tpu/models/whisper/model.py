@@ -302,20 +302,43 @@ def precompute_cross_attention(params: dict, cfg: WhisperConfig,
     Returned as PER-LAYER LISTS (like the self cache), not a stacked
     (L, ...) array: the fused kernel's operands must be whole buffers —
     a leading-axis slice of a stacked array inside the decode loop
-    forces XLA to materialize the slice as a copy EVERY step."""
+    forces XLA to materialize the slice as a copy EVERY step.
+
+    All 2L projections run as ONE matmul over the concatenated weights,
+    emitted directly in the time-minor layout (einsum "btd,dc->bct") —
+    the per-layer slices of the channel axis reshape to (B, H, hd, T)
+    without any transpose copies. Same-process A/B (v5e, b128, int8,
+    scripts/preloop_ab.py): 14.36 -> 10.17 ms for the full precompute;
+    the same matmul in natural (B, T, C) layout followed by the old
+    per-tensor transposes measures 19.98 ms, so the transposed-output
+    dot is what XLA tiles well, not just the matmul fusion. Values match
+    the per-layer formulation to f32-accumulation-order noise (exactly,
+    when enc is f32)."""
     out = {"k": [], "v": []}
     if quant in ("int8", "int4"):
         out["k_scale"], out["v_scale"] = [], []
     elif quant != "none":
         raise ValueError(f"unknown kv_quant {quant!r}")
     qmax = 127.0 if quant == "int8" else 7.0
+    d = cfg.d_model
+    b, t = enc.shape[0], enc.shape[1]
+    ws, bs = [], []
     for bp in params["decoder"]["blocks"]:
-        k = nn.split_heads(nn.linear(bp["cross_attn"]["k"], enc),
-                           cfg.num_heads)               # (B, H, T, hd)
-        v = nn.split_heads(nn.linear(bp["cross_attn"]["v"], enc),
-                           cfg.num_heads)
-        k = k.transpose(0, 1, 3, 2)  # (B, H, hd, T)
-        v = v.transpose(0, 1, 3, 2)
+        for name in ("k", "v"):
+            lin = bp["cross_attn"][name]
+            ws.append(lin["w"])
+            # whisper k_proj has no bias; zeros keep the fused add uniform
+            bs.append(lin.get("b", jnp.zeros((d,), jnp.float32)))
+    wf = jnp.concatenate(ws, axis=1).astype(enc.dtype)   # (D, 2L*D)
+    bf = jnp.concatenate(bs).astype(jnp.float32)
+    kv = (jnp.einsum("btd,dc->bct", enc, wf,
+                     preferred_element_type=jnp.float32)
+          + bf[None, :, None]).astype(enc.dtype)         # (B, 2L*D, T)
+    for li in range(cfg.decoder_layers):
+        k = kv[:, (2 * li) * d:(2 * li + 1) * d].reshape(
+            b, cfg.num_heads, cfg.head_dim, t)           # (B, H, hd, T)
+        v = kv[:, (2 * li + 1) * d:(2 * li + 2) * d].reshape(
+            b, cfg.num_heads, cfg.head_dim, t)
         if quant == "none":
             out["k"].append(k)
             out["v"].append(v)
