@@ -23,6 +23,13 @@ def initialize_if_multihost(coordinator: Optional[str] = None,
     num = num_processes or int(os.environ.get("ATX_NUM_PROCESSES", "1"))
     if num <= 1 and coordinator is None:
         return False
+    # CPU backends need an explicit cross-process collective transport
+    # (TPU slices get collectives natively over ICI/DCN); gloo is JAX's
+    # built-in CPU implementation. Must be set before backend init.
+    platforms = str(getattr(jax.config, "jax_platforms", None)
+                    or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in platforms:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator
         or os.environ.get("ATX_COORDINATOR", "127.0.0.1:9911"),

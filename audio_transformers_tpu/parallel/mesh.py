@@ -55,10 +55,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """device_put a pytree of host arrays with the batch dim sharded."""
+    """device_put a pytree of host arrays with the batch dim sharded.
+
+    Multi-process: each process holds only its LOCAL rows (the Batcher's
+    process_sharded slice), so the global array is assembled from the
+    per-process shards — `jax.device_put` would reject the local/global
+    shape mismatch."""
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
-        return jax.device_put(x, data_sharding(mesh, ndim=x.ndim, axis=axis))
+        sharding = data_sharding(mesh, ndim=x.ndim, axis=axis)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)
 
