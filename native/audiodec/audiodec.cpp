@@ -61,6 +61,28 @@ int64_t adc_decode_wav(const uint8_t* data, size_t size, float* out,
     if (!bytes_per) return -1;
     int64_t frames = (int64_t)(pcm_size / (bytes_per * channels));
     int64_t n = std::min(frames, out_capacity);
+    /* int16 PCM fast paths (the overwhelmingly common on-disk format):
+     * branch-free per-sample loops the compiler vectorizes (int16 ->
+     * float convert + scale), vs the generic per-sample format dispatch
+     * below. Keeps the classifier's host input pipeline from being the
+     * training bottleneck (VERDICT r3 next #8). */
+    if (fmt == 1 && bits == 16 && channels == 1) {
+        const float s = 1.0f / 32768.0f;
+        for (int64_t i = 0; i < n; i++)
+            out[i] = (float)(int16_t)rd_u16(pcm + 2 * i) * s;
+        if (sample_rate_out) *sample_rate_out = rate;
+        return n;
+    }
+    if (fmt == 1 && bits == 16 && channels == 2) {
+        const float s = 0.5f / 32768.0f; /* mono mixdown: mean of L/R */
+        for (int64_t i = 0; i < n; i++) {
+            float l = (float)(int16_t)rd_u16(pcm + 4 * i);
+            float r = (float)(int16_t)rd_u16(pcm + 4 * i + 2);
+            out[i] = (l + r) * s;
+        }
+        if (sample_rate_out) *sample_rate_out = rate;
+        return n;
+    }
     for (int64_t i = 0; i < n; i++) {
         double acc = 0.0;
         for (int c = 0; c < channels; c++) {
@@ -114,8 +136,16 @@ struct ResampleFilter {
      * rpoly[p][m] = h[p + (len-1-m)*up]. Contiguous per phase and stored
      * so the inner product walks BOTH the taps and the input ascending —
      * a dense dot product (the strided h[base - k*up] walk of the naive
-     * formulation defeats vectorization and prefetch). */
+     * formulation defeats vectorization and prefetch).
+     *
+     * flat: the same rows FRONT-padded with zeros to one fixed length
+     * `row_len` (multiple of 8) and packed contiguously (row p at
+     * flat[p * row_len]). Against a zero-padded input buffer every
+     * output is then one fixed-length dot with no per-output boundary
+     * clamping and no vector tail — the form the SIMD dot needs. */
     std::vector<std::vector<float>> rpoly;
+    std::vector<float> flat;
+    int64_t row_len;
     int up, down, half_len;
 };
 
@@ -146,12 +176,27 @@ static ResampleFilter design_filter(int in_rate, int out_rate) {
     /* firwin normalizes DC gain to 1, then resample_poly scales by up */
     for (auto& v : h) v = v / sum * up;
     std::vector<std::vector<float>> rpoly((size_t)up);
+    size_t max_len = 0;
     for (int p = 0; p < up; p++) {
         for (int j = p; j < taps; j += up)
             rpoly[(size_t)p].push_back((float)h[j]);
         std::reverse(rpoly[(size_t)p].begin(), rpoly[(size_t)p].end());
+        max_len = std::max(max_len, rpoly[(size_t)p].size());
     }
-    return {std::move(h), std::move(rpoly), up, down, half};
+    int64_t row_len = (int64_t)((max_len + 7) / 8 * 8);
+    std::vector<float> flat((size_t)row_len * up, 0.0f);
+    for (int p = 0; p < up; p++) {
+        const auto& row = rpoly[(size_t)p];
+        /* front padding: row[m] pairs with input sample
+         * k0 - len + 1 + m, so (row_len - len) leading zeros shift the
+         * window start back to k0 - row_len + 1 without changing the
+         * sum — the padded input buffer supplies zeros there too. */
+        std::copy(row.begin(), row.end(),
+                  flat.begin() + (size_t)(p * row_len)
+                      + (size_t)(row_len - (int64_t)row.size()));
+    }
+    return {std::move(h), std::move(rpoly), std::move(flat), row_len,
+            up, down, half};
 }
 
 int64_t adc_resample_out_len(int64_t in_len, int32_t in_rate,
@@ -180,9 +225,39 @@ static const ResampleFilter& cached_filter(int32_t in_rate,
  * independent accumulators: float adds aren't reassociable by the
  * compiler, so the unroll is manual (the 2e-4-vs-scipy parity budget
  * absorbs the reordering). Measured 1.48 -> 0.82 ms per 4 s
- * 22.05k->16k clip vs the old descending-walk loop; ISA-specific clones
- * (AVX2/512) were tried and lose their gains to per-call ifunc dispatch
- * at the ~28-tap dot lengths polyphase filters produce. */
+ * 22.05k->16k clip vs the old descending-walk loop.
+ *
+ * SIMD: runtime ifunc clones were tried in round 3 and lose their gains
+ * to per-call dispatch at the ~28-tap dot lengths polyphase filters
+ * produce — so the AVX2+FMA variant is selected at COMPILE time instead
+ * (the Makefile builds with -march=native; the library is auto-built on
+ * the machine that uses it, data/native_loader.py). Together with the
+ * fixed-length zero-padded rows (count always a multiple of 8) the hot
+ * path is pure 8-wide FMAs with one horizontal sum and no tail. */
+#if defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+static inline float dot_f32(const float* hp, const float* xp, int64_t count) {
+    __m256 acc0 = _mm256_setzero_ps(), acc1 = _mm256_setzero_ps();
+    int64_t r = 0;
+    for (; r + 16 <= count; r += 16) {
+        acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(hp + r),
+                               _mm256_loadu_ps(xp + r), acc0);
+        acc1 = _mm256_fmadd_ps(_mm256_loadu_ps(hp + r + 8),
+                               _mm256_loadu_ps(xp + r + 8), acc1);
+    }
+    for (; r + 8 <= count; r += 8)
+        acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(hp + r),
+                               _mm256_loadu_ps(xp + r), acc0);
+    __m256 acc = _mm256_add_ps(acc0, acc1);
+    __m128 s = _mm_add_ps(_mm256_castps256_ps128(acc),
+                          _mm256_extractf128_ps(acc, 1));
+    s = _mm_add_ps(s, _mm_movehl_ps(s, s));
+    s = _mm_add_ss(s, _mm_shuffle_ps(s, s, 1));
+    float out = _mm_cvtss_f32(s);
+    for (; r < count; r++) out += hp[r] * xp[r];
+    return out;
+}
+#else
 static inline float dot_f32(const float* hp, const float* xp, int64_t count) {
     float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f, a3 = 0.0f;
     int64_t r = 0;
@@ -195,6 +270,7 @@ static inline float dot_f32(const float* hp, const float* xp, int64_t count) {
     for (; r < count; r++) a0 += hp[r] * xp[r];
     return (a0 + a1) + (a2 + a3);
 }
+#endif
 
 int64_t adc_resample(const float* in, int64_t in_len, int32_t in_rate,
                      int32_t out_rate, float* out, int64_t out_capacity) {
@@ -206,26 +282,30 @@ int64_t adc_resample(const float* in, int64_t in_len, int32_t in_rate,
     const ResampleFilter& f = cached_filter(in_rate, out_rate);
     int64_t n_out = adc_resample_out_len(in_len, in_rate, out_rate);
     n_out = std::min(n_out, out_capacity);
+    /* Zero-pad the input once (row_len-1 zeros in front, enough behind
+     * for the last window) so every output is ONE fixed-length dot
+     * against its phase row — no per-output boundary clamping, and the
+     * count is a multiple of 8 for the SIMD dot. The padding zeros pair
+     * with the rows' front-padding zeros and out-of-range taps, adding
+     * exact 0.0f terms, so results match the clamped walk bit-for-bit
+     * up to the dot's own accumulation order. */
+    int64_t pad = f.row_len - 1;
+    int64_t k0_max = ((n_out - 1) * (int64_t)f.down + f.half_len) / f.up;
+    thread_local std::vector<float> inpad;
+    inpad.assign((size_t)(std::max(pad + in_len, k0_max + f.row_len)),
+                 0.0f);
+    memcpy(inpad.data() + pad, in, (size_t)in_len * sizeof(float));
     for (int64_t n = 0; n < n_out; n++) {
-        /* output n sits at upsampled index n*down; filter centered there.
-         * Tap index j = base - k*up keeps j ≡ base (mod up): exactly the
-         * phase-major row poly[base % up], walked densely while the input
-         * walks k downward from k0 = floor(base/up). Using the REVERSED
-         * row lets both streams ascend: a plain dot product with four
-         * independent accumulators (float adds aren't reassociable by the
-         * compiler; doing it by hand keeps the FP pipes full and the
-         * 2e-4-vs-scipy parity budget absorbs the reordering). */
+        /* output n sits at upsampled index n*down; filter centered
+         * there. Tap index j = base - k*up keeps j ≡ base (mod up):
+         * exactly the phase-major row flat[base % up], walked densely
+         * (REVERSED, so both streams ascend) while the padded input
+         * window starts at k0 = floor(base/up). */
         int64_t base = n * (int64_t)f.down + f.half_len;
         int64_t phase = base % f.up;
         int64_t k0 = base / f.up;
-        const std::vector<float>& rtaps = f.rpoly[(size_t)phase];
-        int64_t len = (int64_t)rtaps.size();
-        int64_t m_lo = (k0 > in_len - 1) ? (k0 - (in_len - 1)) : 0;
-        int64_t m_hi = std::min(len - 1, k0);
-        int64_t r_lo = len - 1 - m_hi;
-        int64_t count = m_hi - m_lo + 1;
-        out[n] = dot_f32(rtaps.data() + r_lo,
-                         in + (k0 - len + 1 + r_lo), count);
+        out[n] = dot_f32(f.flat.data() + (size_t)(phase * f.row_len),
+                         inpad.data() + k0, f.row_len);
     }
     return n_out;
 }
