@@ -88,6 +88,14 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     if dcfg.temperature and dcfg.temperature > 0.0:
         raise ValueError("beam search is deterministic; temperature>0 "
                          "with num_beams>1 is not supported")
+    if dcfg.kv_quant == "int4":
+        import warnings
+        warnings.warn(
+            "num_beams>1 with kv_quant='int4' routes cross-attention "
+            "through the dequantize-per-step correctness path (the "
+            "nibble-packed layout has no beam-batched einsum) — prefer "
+            "kv_quant='int8' when beam-decoding for speed",
+            stacklevel=2)
     if prompt is None:
         prompt = build_prompt(cfg, dcfg)
     prompt_arr = jnp.asarray(prompt, jnp.int32)
