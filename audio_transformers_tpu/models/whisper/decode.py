@@ -179,7 +179,7 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     dcfg: DecodeConfig, prompt_len: int,
                     suppress_ids: Tuple[int, ...],
                     begin_suppress_ids: Tuple[int, ...],
-                    seen=None, finished=None):
+                    seen=None, finished=None, timestamp_rule=True):
     # Fused composition of the HF chain (suppress -> begin-suppress ->
     # repetition penalty -> no-repeat-ngram), identical math. The static
     # suppress masks are one fused elementwise pass over the (B, V)
@@ -243,7 +243,7 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                 return jnp.where(banned, lp.NEG_INF, lg)
 
             logits = jax.lax.cond(overflow, dense, sparse, logits)
-    if dcfg.return_timestamps:
+    if dcfg.return_timestamps and timestamp_rule:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,
             begin_index=prompt_len,
@@ -389,15 +389,33 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
             table = step_params["embed"]["table"].astype(hidden.dtype)
             logits = jnp.einsum("bd,vd->bv", hidden, table,
                                 preferred_element_type=jnp.float32)
+            sampling = bool(dcfg.temperature and dcfg.temperature > 0.0)
+            # Greedy timestamped decode: stop the processor chain before
+            # the timestamp rule and take the token from the
+            # reductions+argmax form — the full rule's probability
+            # branch forces a dependent second (B, V) pass that the
+            # greedy token never needs (lp.whisper_timestamp_greedy_token;
+            # ties it in XLA — +0.180 vs +0.187 ms/step at b128/L=268,
+            # scripts/ts_rule_ab.py — and is the semantics the fused
+            # Pallas greedy kernel computes in one real pass).
+            fused_ts = dcfg.return_timestamps and not sampling
             logits = _process_logits(logits, tokens, pos, cfg, dcfg, p_len,
                                      suppress_ids, begin_suppress_ids,
                                      seen=seen if track_seen else None,
-                                     finished=finished)
+                                     finished=finished,
+                                     timestamp_rule=not fused_ts)
 
-            if dcfg.temperature and dcfg.temperature > 0.0:
+            if sampling:
                 key, sub = jax.random.split(key)
                 nxt = jax.random.categorical(sub, logits / dcfg.temperature,
                                              axis=-1).astype(jnp.int32)
+            elif fused_ts:
+                nxt = lp.whisper_timestamp_greedy_token(
+                    logits, tokens, pos,
+                    begin_index=p_len,
+                    timestamp_begin=cfg.timestamp_begin_id,
+                    eos_token_id=cfg.eos_token_id,
+                    no_timestamps_token_id=cfg.no_timestamps_token_id)
             else:
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

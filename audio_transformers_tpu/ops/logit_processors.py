@@ -114,6 +114,70 @@ def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
     return jnp.where(seen, penalized, logits)
 
 
+def _timestamp_mask_cond(
+        tokens: jax.Array, pos: jax.Array, *, vocab: int,
+        begin_index: int, timestamp_begin: int, eos_token_id: int,
+        no_timestamps_token_id: int,
+        max_initial_timestamp_index: Optional[int]) -> jax.Array:
+    """(B, V) bool predicate of every timestamp rule EXCEPT the
+    probability rule (which needs reductions over the masked logits).
+    Built from per-row scalars broadcast against vocab iota — no (B, V)
+    memory reads — so consumers fuse it into whatever pass reads the
+    logits. Shared by `whisper_timestamp_rules` (full-distribution form,
+    for sampling/beam) and `whisper_timestamp_greedy_token` (fused
+    argmax form, for the greedy decode loop); their token parity rests
+    on this single predicate implementation."""
+    b = tokens.shape[0]
+    length = tokens.shape[1]
+    vocab_ids = jnp.arange(vocab)
+    is_ts_vocab = vocab_ids >= timestamp_begin
+
+    # --- per-row scalars (O(B*L) work, trivial vs the (B, V) passes) ----
+    last = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - 1, 0)), (b, 1))[:, 0]
+    penult = jax.lax.dynamic_slice(
+        tokens, (0, jnp.maximum(pos - 2, 0)), (b, 1))[:, 0]
+    last_was_ts = (pos > begin_index) & (last >= timestamp_begin)
+    penult_was_ts = (pos <= begin_index + 1) | (penult >= timestamp_begin)
+    mask_ts = last_was_ts & penult_was_ts          # has to be non-timestamp
+    mask_text = last_was_ts & ~penult_was_ts       # cannot be normal text
+
+    # monotonicity: mask timestamps strictly below the LAST seen timestamp
+    # (in sequence order), exclusive if mid-pair, else inclusive (+1).
+    positions = jnp.arange(length)
+    hist = (positions[None, :] >= begin_index) & (positions[None, :] < pos)
+    is_ts_hist = hist & (tokens >= timestamp_begin)
+    last_idx = jnp.max(jnp.where(is_ts_hist, positions[None, :], -1), axis=1)
+    has_ts = last_idx >= 0
+    last_ts = jnp.take_along_axis(
+        tokens, jnp.maximum(last_idx, 0)[:, None], axis=1)[:, 0]
+    floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
+    at_begin = pos == begin_index
+
+    # --- ONE combined pre-probability mask over (B, V) ------------------
+    # Every rule before the probability rule masks-to-NEG_INF from
+    # row-scalar conditions broadcast against vocab iota, and none reads
+    # the logits another rule wrote — so they OR into one predicate.
+    # Applying them as the original chain of sequential jnp.where passes
+    # (plus the .at[no_timestamps].set copy) costs ~6 full (B, V) f32
+    # traversals per decode step (+0.17 ms/step at b128, the largest
+    # remaining processor line, VERDICT r3 next #5); this form is one
+    # fused read into the reductions plus one masked write.
+    cond = (vocab_ids == no_timestamps_token_id)[None, :]   # always
+    cond = cond | (mask_ts[:, None] & is_ts_vocab[None, :])  # pair rule
+    # (HF masks ids < eos for the "no normal text" branch — in the real
+    # whisper vocab every text token id is below eos)
+    cond = cond | (mask_text[:, None]
+                   & (vocab_ids < eos_token_id)[None, :])
+    cond = cond | (has_ts[:, None] & is_ts_vocab[None, :]
+                   & (vocab_ids[None, :] < floor[:, None]))  # monotonic
+    cond = cond | (at_begin & ~is_ts_vocab[None, :])         # begin: ts only
+    if max_initial_timestamp_index is not None:
+        cap = timestamp_begin + max_initial_timestamp_index
+        cond = cond | (at_begin & (vocab_ids[None, :] > cap))
+    return cond
+
+
 def whisper_timestamp_rules(
         logits: jax.Array, tokens: jax.Array, pos: jax.Array, *,
         begin_index: int, timestamp_begin: int, eos_token_id: int,
@@ -129,66 +193,93 @@ def whisper_timestamp_rules(
         capped at max_initial_timestamp_index
       - if total timestamp probability exceeds the max text-token
         probability, text is suppressed
+
+    Full-distribution form (sampling, beam scoring, HF parity tests).
+    Greedy decode should use `whisper_timestamp_greedy_token` instead —
+    it skips the dependent re-mask pass over (B, V).
     """
     b, vocab = logits.shape
-    length = tokens.shape[1]
     vocab_ids = jnp.arange(vocab)
     is_ts_vocab = vocab_ids >= timestamp_begin
+    cond = _timestamp_mask_cond(
+        tokens, pos, vocab=vocab, begin_index=begin_index,
+        timestamp_begin=timestamp_begin, eos_token_id=eos_token_id,
+        no_timestamps_token_id=no_timestamps_token_id,
+        max_initial_timestamp_index=max_initial_timestamp_index)
 
-    logits = logits.at[:, no_timestamps_token_id].set(NEG_INF)
-
-    last = jax.lax.dynamic_slice(
-        tokens, (0, jnp.maximum(pos - 1, 0)), (b, 1))[:, 0]
-    penult = jax.lax.dynamic_slice(
-        tokens, (0, jnp.maximum(pos - 2, 0)), (b, 1))[:, 0]
-    last_was_ts = (pos > begin_index) & (last >= timestamp_begin)
-    penult_was_ts = (pos <= begin_index + 1) | (penult >= timestamp_begin)
-
-    # pair rule (HF masks ids < eos for the "no normal text" branch —
-    # in the real whisper vocab every text token id is below eos)
-    mask_ts = last_was_ts & penult_was_ts          # has to be non-timestamp
-    mask_text = last_was_ts & ~penult_was_ts       # cannot be normal text
-    logits = jnp.where(mask_ts[:, None] & is_ts_vocab[None, :], NEG_INF,
-                       logits)
-    logits = jnp.where(mask_text[:, None]
-                       & (vocab_ids < eos_token_id)[None, :], NEG_INF,
-                       logits)
-
-    # monotonicity: mask timestamps strictly below the LAST seen timestamp
-    # (in sequence order), exclusive if mid-pair, else inclusive (+1).
-    positions = jnp.arange(length)
-    hist = (positions[None, :] >= begin_index) & (positions[None, :] < pos)
-    is_ts_hist = hist & (tokens >= timestamp_begin)
-    last_idx = jnp.max(jnp.where(is_ts_hist, positions[None, :], -1), axis=1)
-    has_ts = last_idx >= 0
-    last_ts = jnp.take_along_axis(
-        tokens, jnp.maximum(last_idx, 0)[:, None], axis=1)[:, 0]
-    floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
-    below_floor = vocab_ids[None, :] < floor[:, None]
-    logits = jnp.where(has_ts[:, None] & is_ts_vocab[None, :] & below_floor,
-                       NEG_INF, logits)
-
-    # first generated position: timestamps only, capped
-    at_begin = pos == begin_index
-    logits = jnp.where(at_begin & ~is_ts_vocab[None, :], NEG_INF, logits)
-    if max_initial_timestamp_index is not None:
-        cap = timestamp_begin + max_initial_timestamp_index
-        logits = jnp.where(at_begin & (vocab_ids[None, :] > cap), NEG_INF,
-                           logits)
+    # `masked` feeds ONLY the two reductions below — the final output
+    # re-applies `cond` to `logits` directly, so XLA fuses the masking
+    # into the reduction reads and never materializes a (B, V) f32
+    # intermediate. (Consuming `masked` in the final where instead
+    # forces a 26.5 MB write + re-read per step at b128.)
+    masked = jnp.where(cond, NEG_INF, logits)
 
     # probability rule: HF compares logsumexp(ts logprobs) against
-    # max(text logprobs); log_softmax subtracts the same per-row constant
-    # from both sides, so it cancels — compare in raw-logit space over
-    # the two contiguous vocab halves instead of materializing a (B, V)
-    # logprobs buffer (saves ~3 full (B, V) passes per decode step).
-    # Mathematically identical to HF; rounding differs only when the two
-    # sides are within one ulp of each other (full-geometry HF parity is
-    # asserted in tests/test_full_geometry_parity.py).
+    # max(text logprobs) AFTER the masks above; log_softmax subtracts the
+    # same per-row constant from both sides, so it cancels — compare in
+    # raw-logit space over the two contiguous vocab halves instead of
+    # materializing a (B, V) logprobs buffer (saves ~3 full (B, V)
+    # passes per decode step). Mathematically identical to HF; rounding
+    # differs only when the two sides are within one ulp of each other
+    # (full-geometry HF parity: tests/test_full_geometry_parity.py).
     tb = min(max(timestamp_begin, 0), vocab)
     if 0 < tb < vocab:
-        lse_ts = jax.nn.logsumexp(logits[:, tb:], axis=-1)
-        max_text = jnp.max(logits[:, :tb], axis=-1)
+        lse_ts = jax.nn.logsumexp(masked[:, tb:], axis=-1)
+        max_text = jnp.max(masked[:, :tb], axis=-1)
         force_ts = lse_ts > max_text
-        logits = jnp.where(force_ts[:, None] & ~is_ts_vocab[None, :],
-                           NEG_INF, logits)
-    return logits
+        cond = cond | (force_ts[:, None] & ~is_ts_vocab[None, :])
+    return jnp.where(cond, NEG_INF, logits)
+
+
+def whisper_timestamp_greedy_token(
+        logits: jax.Array, tokens: jax.Array, pos: jax.Array, *,
+        begin_index: int, timestamp_begin: int, eos_token_id: int,
+        no_timestamps_token_id: int,
+        max_initial_timestamp_index: Optional[int] = 50) -> jax.Array:
+    """argmax(whisper_timestamp_rules(logits, ...)) in ONE fused pass.
+
+    The probability rule makes the straightforward form inherently
+    two-pass over (B, V): pass 1 reads the masked logits for the
+    lse/max reductions, and only then can pass 2 re-mask and argmax
+    (the force-timestamps predicate depends on the reductions). But the
+    greedy token needs no re-masked array — forcing timestamps just
+    means "argmax over the timestamp half instead of the full row":
+
+        token = force_ts ? tb + argmax(masked[:, tb:]) : argmax(masked)
+
+    All four row-reductions (lse_ts, max_text, and the two argmaxes)
+    read the same `masked` values, so in principle one traversal
+    suffices. Measured in-pipeline (scripts/ts_rule_ab.py, b128/L=268
+    bf16): +0.180 ms/step vs +0.187 for argmax-of-the-rule — XLA does
+    NOT multi-output-fuse the sibling reductions, so the win is
+    structural only. The form still matters: it is the semantics the
+    fused Pallas greedy kernel implements in one real pass
+    (ops/decode_logits.py), and this is its XLA twin/oracle.
+
+    Tie-break equivalence with argmax-of-the-rule: when force_ts holds,
+    every text entry of the re-masked row is exactly NEG_INF while
+    max(masked[ts]) > NEG_INF (if the whole timestamp half were masked,
+    lse_ts ~= NEG_INF and force_ts could not hold), so the full-row
+    argmax lands on the first timestamp maximum — exactly
+    tb + argmax(masked[:, tb:]). When it doesn't hold, the re-masked
+    row IS `masked`. jnp.argmax's first-maximum rule therefore picks
+    the identical index on both paths (asserted against the
+    full-distribution form in tests/test_decode.py, and end-to-end vs
+    HF generate in tests/test_full_geometry_parity.py's timestamped
+    case, which decodes through this path)."""
+    b, vocab = logits.shape
+    cond = _timestamp_mask_cond(
+        tokens, pos, vocab=vocab, begin_index=begin_index,
+        timestamp_begin=timestamp_begin, eos_token_id=eos_token_id,
+        no_timestamps_token_id=no_timestamps_token_id,
+        max_initial_timestamp_index=max_initial_timestamp_index)
+    masked = jnp.where(cond, NEG_INF, logits)
+    tb = min(max(timestamp_begin, 0), vocab)
+    if not (0 < tb < vocab):
+        return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    lse_ts = jax.nn.logsumexp(masked[:, tb:], axis=-1)
+    max_text = jnp.max(masked[:, :tb], axis=-1)
+    force_ts = lse_ts > max_text
+    arg_all = jnp.argmax(masked, axis=-1)
+    arg_ts = tb + jnp.argmax(masked[:, tb:], axis=-1)
+    return jnp.where(force_ts, arg_ts, arg_all).astype(jnp.int32)

@@ -181,6 +181,49 @@ class TestTimestampRules:
                 err_msg=f"mask mismatch at pos={pos}")
             np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+    def test_greedy_token_matches_full_rule_argmax(self, hf_pair, seed):
+        """whisper_timestamp_greedy_token (the decode loop's fused
+        reductions+argmax form) must pick the exact token that
+        argmax(whisper_timestamp_rules(...)) picks — including positions
+        where the probability rule forces timestamps (biasing the
+        timestamp half upward below makes force_ts fire on a meaningful
+        fraction of rows)."""
+        _, cfg, _ = hf_pair
+        cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400,
+                          eos_token_id=398)
+        begin = 2
+        rng = np.random.default_rng(100 + seed)
+        length = 12
+        toks = rng.integers(2, cfg.vocab_size, (4, length)).astype(np.int32)
+        toks[:, 0] = cfg.decoder_start_token_id
+        for b in range(4):
+            t0 = 400 + int(rng.integers(0, 40))
+            toks[b, 2] = t0
+            if (seed + b) % 2:
+                toks[b, 3] = t0 + int(rng.integers(0, 30))
+        kw = dict(begin_index=begin,
+                  timestamp_begin=cfg.timestamp_begin_id,
+                  eos_token_id=cfg.eos_token_id,
+                  no_timestamps_token_id=cfg.no_timestamps_token_id,
+                  max_initial_timestamp_index=50)
+        for pos in range(begin, length):
+            logits = rng.standard_normal((4, cfg.vocab_size)) \
+                .astype(np.float32)
+            # push some rows toward force_ts (timestamp mass dominates)
+            logits[::2, cfg.timestamp_begin_id:] += 2.0
+            buf = np.zeros((4, length), np.int32)
+            buf[:, :pos] = toks[:, :pos]
+            full = np.asarray(lp.whisper_timestamp_rules(
+                jnp.asarray(logits), jnp.asarray(buf), jnp.asarray(pos),
+                **kw))
+            got = np.asarray(lp.whisper_timestamp_greedy_token(
+                jnp.asarray(logits), jnp.asarray(buf), jnp.asarray(pos),
+                **kw))
+            np.testing.assert_array_equal(
+                got, full.argmax(-1).astype(np.int32),
+                err_msg=f"fused greedy token mismatch at pos={pos}")
+
 
 def test_timestamped_decode_produces_valid_structure(hf_pair):
     """End-to-end timestamped greedy decode on the toy model: timestamps

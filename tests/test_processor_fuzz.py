@@ -167,6 +167,17 @@ def test_timestamp_rules_match_hf(case, max_initial):
               torch.from_numpy(logits.copy())).numpy()
     _masks_and_values(ours, hf)
 
+    # the decode loop's fused reductions+argmax form must pick HF's
+    # greedy token (ties: both argmaxes take the first maximum, and the
+    # fused form's selected index equals it — see
+    # lp.whisper_timestamp_greedy_token's docstring)
+    got_tok = np.asarray(lp.whisper_timestamp_greedy_token(
+        jnp.asarray(logits), jnp.asarray(tokens), jnp.int32(pos),
+        begin_index=begin_index, timestamp_begin=ts_begin,
+        eos_token_id=eos, no_timestamps_token_id=no_ts,
+        max_initial_timestamp_index=max_initial))
+    np.testing.assert_array_equal(got_tok, hf.argmax(-1).astype(np.int32))
+
 
 @settings(max_examples=40, deadline=None)
 @given(history())
