@@ -318,10 +318,11 @@ class DecodeConfig(_ConfigBase):
     kv_quant: str = "none"
     # "auto" | "fused" | "xla": how the per-step vocab projection + logit
     # processors + token pick run. "fused" is the Pallas kernel that never
-    # materializes the (B, V) logits in HBM (ops/decode_logits.py; greedy,
-    # non-timestamp decodes only — others always take the XLA chain).
-    # "auto" resolves to "fused" on TPU when eligible. Token-for-token
-    # identical to "xla" (tests/test_decode.py).
+    # materializes the (B, V) logits in HBM (ops/decode_logits.py; greedy
+    # decodes only, including timestamped ones — sampling always takes
+    # the XLA chain). "auto" resolves to "fused" on TPU where it measures
+    # faster in-pipeline (decode.resolve_logits_impl has the measured
+    # scope). Token-for-token identical to "xla" (tests/test_decode.py).
     logits_impl: str = "auto"
     # Minimum decode-buffer length at which the incrementally-written
     # self-attention KV cache is quantized alongside the cross KV; below

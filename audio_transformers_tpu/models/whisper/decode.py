@@ -84,30 +84,36 @@ NGRAM_SCATTER_MAX_LEN = 128
 
 
 def resolve_logits_impl(dcfg: DecodeConfig) -> str:
-    """Resolve DecodeConfig.logits_impl. Sampling and timestamped decodes
-    always take "xla": temperature needs the full distribution and the
-    timestamp rules need global row statistics (log-softmax sums),
-    neither of which the fused kernel materializes.
+    """Resolve DecodeConfig.logits_impl. Sampling always takes "xla":
+    temperature needs the full distribution, which the fused kernel
+    never materializes. Timestamped greedy decodes are supported — the
+    kernel computes the timestamp rules (interval masks + the
+    probability rule's online statistics) inside the projection pass
+    (ops/decode_logits.py).
 
-    "auto" picks the fused kernel ONLY for the repetition-penalty-
-    without-ngram chain, measured in-pipeline on v5e at the headline
-    geometry (B=128, int8 KV, L=68): the penalty's (B, V) passes force
-    XLA to materialize the logits, so the kernel wins there (1.042 vs
-    1.073 ms/step); everywhere else XLA's dot+argmax consumer fusion
-    keeps the bf16 table VMEM-resident across loop steps and beats the
-    kernel's HBM re-stream (noproc 0.986 vs 1.024; penalty+ngram 1.124
-    vs 1.158 — the int8 ban-mask build/read outweighs the fused pass)."""
+    "auto" picks the fused kernel for (a) the repetition-penalty-
+    without-ngram chain and (b) any timestamped greedy chain, both
+    measured in-pipeline on v5e at B=128: the penalty's (B, V) passes
+    force XLA to materialize the logits (1.042 vs 1.073 ms/step at
+    int8/L=68), and the timestamp rules cost the XLA path +0.187
+    ms/step of unfusable reduction passes (scripts/ts_rule_ab.py,
+    L=268) that the kernel absorbs into its single traversal.
+    Everywhere else XLA's dot+argmax consumer fusion keeps the bf16
+    table VMEM-resident across loop steps and beats the kernel's
+    per-call HBM re-stream (noproc 0.986 vs 1.024; penalty+ngram 1.124
+    vs 1.158 — the int8 ban-mask build/read outweighs the fused
+    pass)."""
     impl = dcfg.logits_impl
     if impl not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown logits_impl {impl!r}")
+    sampling = bool(dcfg.temperature and dcfg.temperature > 0.0)
     if impl == "auto":
         pen_only = (dcfg.repetition_penalty != 1.0
                     and not dcfg.no_repeat_ngram_size)
-        impl = ("fused" if pen_only
+        impl = ("fused" if (pen_only or dcfg.return_timestamps)
+                and not sampling
                 and jax.default_backend() == "tpu" else "xla")
-    if impl == "fused" and (
-            (dcfg.temperature and dcfg.temperature > 0.0)
-            or dcfg.return_timestamps):
+    if impl == "fused" and sampling:
         return "xla"
     return impl
 
@@ -329,6 +335,11 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         if len(suppress_ids):
             add_base = add_base.at[
                 jnp.asarray(list(suppress_ids), jnp.int32)].set(lp.NEG_INF)
+        if dcfg.return_timestamps:
+            # the timestamp rules' one position-independent mask:
+            # <|notimestamps|> is always suppressed
+            add_base = add_base.at[cfg.no_timestamps_token_id].set(
+                lp.NEG_INF)
         add_begin = add_base
         if len(begin_suppress_ids):
             add_begin = add_begin.at[
@@ -378,10 +389,22 @@ def generate(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
                                       v_pad, finished)
             h = hidden if cfg.d_model == d_pad else jnp.pad(
                 hidden, ((0, 0), (0, d_pad - cfg.d_model)))
+            ts_bounds = None
+            if dcfg.return_timestamps:
+                # per-row interval encoding of the timestamp rules,
+                # O(B*L) scalar work — the kernel applies them in
+                # registers and runs the probability rule online
+                ts_bounds = lp.timestamp_row_bounds(
+                    tokens, pos, begin_index=p_len,
+                    timestamp_begin=cfg.timestamp_begin_id,
+                    eos_token_id=cfg.eos_token_id)
             nxt = dl.fused_greedy_step(
                 h, table_t, add,
                 seen=seen if track_seen else None, ban=ban,
-                penalty=dcfg.repetition_penalty)
+                penalty=dcfg.repetition_penalty,
+                ts_bounds=ts_bounds,
+                timestamp_begin=(cfg.timestamp_begin_id
+                                 if dcfg.return_timestamps else None))
         else:
             # step_params' table is already in the compute dtype — using
             # the raw fp32 table here would cast (read+write the full

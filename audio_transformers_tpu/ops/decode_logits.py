@@ -36,8 +36,14 @@ resolve to the lowest index (in-tile first-match via an iota-min, across
 tiles via a strict-greater update).
 
 Greedy only: temperature sampling needs the full distribution and stays
-on the XLA path, as does the timestamped decode (its rules need global
-row statistics).
+on the XLA path. Timestamped decodes ARE supported (`ts_bounds` +
+`timestamp_begin`): the pre-probability whisper timestamp rules compress
+to three per-row interval bounds (lp.timestamp_row_bounds) applied as
+iota compares in registers, and the probability rule's global row
+statistics (logsumexp of the timestamp half, max of the text half, and
+both region argmaxes) accumulate online across the vocab tiles — the
+exact semantics of lp.whisper_timestamp_greedy_token, in the same
+single pass that computes the projection.
 
 Reference equivalent: the LogitsProcessor list + argmax inside HF
 generate (driven by whisper_finetune/evaluate_simple.py:125-135); there
@@ -68,9 +74,15 @@ def pad_vocab(v: int, block_v: int = 1024) -> int:
     return _round_up(v, block_v)
 
 
-def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, out_ref,
-            m_ref, i_ref, *, block_v: int, penalty: float,
-            use_seen: bool, use_ban: bool):
+def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, *refs,
+            block_v: int, penalty: float,
+            use_seen: bool, use_ban: bool, tb: Optional[int]):
+    use_ts = tb is not None
+    if use_ts:
+        (tlo_ref, thi_ref, tcap_ref, out_ref, m_ref, i_ref,
+         mts_ref, its_ref, mtx_ref, sts_ref) = refs
+    else:
+        out_ref, m_ref, i_ref = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -78,6 +90,11 @@ def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, out_ref,
     def _():
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         i_ref[:] = jnp.zeros_like(i_ref)
+        if use_ts:
+            mts_ref[:] = jnp.full_like(mts_ref, -jnp.inf)
+            its_ref[:] = jnp.full_like(its_ref, tb)
+            mtx_ref[:] = jnp.full_like(mtx_ref, -jnp.inf)
+            sts_ref[:] = jnp.zeros_like(sts_ref)
 
     l = jax.lax.dot_general(
         h_ref[:], t_ref[:], (((1,), (0,)), ((), ())),
@@ -90,8 +107,17 @@ def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, out_ref,
     if use_ban:
         l = jnp.where(ban_ref[:] != 0, NEG_INF, l)
 
-    tm = jnp.max(l, axis=1, keepdims=True)           # (bb, 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+    if use_ts:
+        # pre-probability timestamp rules as three per-row interval
+        # compares against the global vocab id (timestamp_row_bounds) —
+        # register work, no (B, V) memory
+        g = lanes + j * block_v
+        l = jnp.where((g < tlo_ref[:, :1])
+                      | ((g >= tb) & (g < thi_ref[:, :1]))
+                      | (g > tcap_ref[:, :1]), NEG_INF, l)
+
+    tm = jnp.max(l, axis=1, keepdims=True)           # (bb, 1)
     ti = jnp.min(jnp.where(l == tm, lanes, _INT_MAX), axis=1,
                  keepdims=True) + j * block_v        # first max in tile
     upd = tm > m_ref[:, :1]
@@ -100,9 +126,58 @@ def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, out_ref,
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     i_ref[:] = jnp.broadcast_to(i_new, i_ref.shape)
 
+    if use_ts:
+        g = lanes + j * block_v
+
+        # probability-rule statistics. Only tiles overlapping the
+        # timestamp region pay the exp (2 of 51 at the real vocab);
+        # only tiles overlapping the text region update its max.
+        @pl.when((j + 1) * block_v > tb)
+        def _():
+            is_ts = g >= tb
+            l_ts = jnp.where(is_ts, l, -jnp.inf)
+            tm_ts = jnp.max(l_ts, axis=1, keepdims=True)  # finite: the
+            # tile has ts lanes and masked values saturate at NEG_INF
+            ti_ts = jnp.min(
+                jnp.where((l_ts == tm_ts) & is_ts, lanes, _INT_MAX),
+                axis=1, keepdims=True) + j * block_v
+            m_old = mts_ref[:, :1]
+            m_run = jnp.maximum(m_old, tm_ts)
+            # online logsumexp: rescale the carried sum, add this tile
+            # (non-ts lanes contribute exp(-inf)=0; all-masked rows sum
+            # exp(0)=1 per lane, matching the XLA twin's logsumexp over
+            # NEG_INF values — force_ts is false either way there)
+            s_blk = jnp.sum(jnp.exp(l_ts - m_run), axis=1, keepdims=True)
+            sts_ref[:] = jnp.broadcast_to(
+                sts_ref[:, :1] * jnp.exp(m_old - m_run) + s_blk,
+                sts_ref.shape)
+            upd_ts = tm_ts > m_old
+            its_ref[:] = jnp.broadcast_to(
+                jnp.where(upd_ts, ti_ts, its_ref[:, :1]), its_ref.shape)
+            mts_ref[:] = jnp.broadcast_to(m_run, mts_ref.shape)
+
+        @pl.when(j * block_v < tb)
+        def _():
+            l_tx = jnp.where(g < tb, l, -jnp.inf)
+            mtx_ref[:] = jnp.broadcast_to(
+                jnp.maximum(mtx_ref[:, :1],
+                            jnp.max(l_tx, axis=1, keepdims=True)),
+                mtx_ref.shape)
+
     @pl.when(j == nj - 1)
     def _():
-        out_ref[:] = jnp.broadcast_to(i_ref[:, :1], out_ref.shape)
+        if use_ts:
+            # force-timestamps: compare lse(ts half) against max(text
+            # half) in raw-logit space (identical to the XLA twin,
+            # lp.whisper_timestamp_greedy_token) and pick the region
+            # argmax accordingly — s >= 1 (the running-max lane
+            # contributes exp(0)), so the log is safe
+            lse = mts_ref[:, :1] + jnp.log(sts_ref[:, :1])
+            force = lse > mtx_ref[:, :1]
+            tok = jnp.where(force, its_ref[:, :1], i_ref[:, :1])
+            out_ref[:] = jnp.broadcast_to(tok, out_ref.shape)
+        else:
+            out_ref[:] = jnp.broadcast_to(i_ref[:, :1], out_ref.shape)
 
 
 def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
@@ -110,6 +185,8 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
                       seen: Optional[jax.Array] = None,
                       ban: Optional[jax.Array] = None,
                       penalty: float = 1.0,
+                      ts_bounds=None,
+                      timestamp_begin: Optional[int] = None,
                       block_v: int = 1024,
                       block_b: int = 128,
                       interpret: bool | None = None) -> jax.Array:
@@ -122,10 +199,24 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
                          at suppressed ids and the padded vocab tail
                          (plus NEG_INF at begin-suppress ids on the
                          first generated position — fold the position
-                         flag in OUTSIDE, it is a (V,) op)
+                         flag in OUTSIDE, it is a (V,) op; timestamped
+                         decodes also fold the static <|notimestamps|>
+                         ban here)
     seen    (B, V_pad)   int8 0/1, ids present in the history (only when
                          penalty != 1.0)
     ban     (B, V_pad)   int8 0/1, no-repeat-ngram banned ids this step
+    ts_bounds            (text_ban_below, ts_ban_below, cap_above) per-
+                         row (B,) int32 from lp.timestamp_row_bounds;
+                         with timestamp_begin, enables the whisper
+                         timestamp rules INSIDE the kernel: the interval
+                         masks are iota compares in registers and the
+                         probability rule (logsumexp of the timestamp
+                         half vs max text logit, then a region-switched
+                         argmax) runs as online statistics across the
+                         vocab tiles — semantics identical to
+                         lp.whisper_timestamp_greedy_token, which the
+                         XLA decode path uses and the tests oracle
+                         against.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -135,6 +226,11 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
         raise ValueError(f"V_pad={v_pad} not a multiple of block_v={block_v}")
     use_seen = seen is not None
     use_ban = ban is not None
+    use_ts = ts_bounds is not None
+    if use_ts and timestamp_begin is None:
+        raise ValueError("ts_bounds requires timestamp_begin")
+    if timestamp_begin is not None and not use_ts:
+        raise ValueError("timestamp_begin requires ts_bounds")
     if use_seen and penalty == 1.0:
         raise ValueError("seen mask given but penalty is 1.0")
     if penalty != 1.0 and not use_seen:
@@ -142,6 +238,9 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
         # penalty would return tokens that diverge from the XLA chain
         # this kernel claims parity with
         raise ValueError("penalty != 1.0 requires the seen mask")
+    if use_ts and not 0 < timestamp_begin < v_pad:
+        raise ValueError(f"timestamp_begin {timestamp_begin} outside the "
+                         f"padded vocab {v_pad}")
     block_b = min(block_b, _round_up(b, 8))
     b_pad = _round_up(b, block_b)
 
@@ -158,42 +257,62 @@ def fused_greedy_step(hidden: jax.Array, table_t: jax.Array,
         (lambda i, j: (i, j)) if on else (lambda i, j: (i, 0)),
         memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, block_v=block_v, penalty=penalty,
-                               use_seen=use_seen, use_ban=use_ban)
+    in_specs = [
+        pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, block_v), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        mask_spec(use_seen),
+        mask_spec(use_ban),
+    ]
+    operands = [hf, table_t, add_vec.astype(jnp.float32), seen_f, ban_f]
+    scratch = [
+        pltpu.VMEM((block_b, 128), jnp.float32),
+        pltpu.VMEM((block_b, 128), jnp.int32),
+    ]
+    if use_ts:
+        row_spec = pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+        for bound in ts_bounds:
+            operands.append(jnp.broadcast_to(
+                pad_b(bound.astype(jnp.int32)[:, None]), (b_pad, 128)))
+            in_specs.append(row_spec)
+        scratch += [
+            pltpu.VMEM((block_b, 128), jnp.float32),   # m_ts
+            pltpu.VMEM((block_b, 128), jnp.int32),     # i_ts
+            pltpu.VMEM((block_b, 128), jnp.float32),   # m_text
+            pltpu.VMEM((block_b, 128), jnp.float32),   # s_ts
+        ]
+
+    kernel = functools.partial(
+        _kernel, block_v=block_v, penalty=penalty,
+        use_seen=use_seen, use_ban=use_ban,
+        tb=int(timestamp_begin) if use_ts else None)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // block_b, v_pad // block_v),
-        in_specs=[
-            pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_v), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_v), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            mask_spec(use_seen),
-            mask_spec(use_ban),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, 128), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((block_b, 128), jnp.float32),
-            pltpu.VMEM((block_b, 128), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * d * v_pad,
             bytes_accessed=(table_t.size * table_t.dtype.itemsize
                             + (seen_f.size if use_seen else 0)
                             + (ban_f.size if use_ban else 0)),
-            transcendentals=0,
+            transcendentals=(b_pad * 2 * block_v) if use_ts else 0,
         ),
         interpret=interpret,
-    )(hf, table_t, add_vec.astype(jnp.float32), seen_f, ban_f)
+    )(*operands)
     return out[:b, 0]
 
 
 def fused_greedy_step_reference(hidden, table_t, add_vec, *, seen=None,
-                                ban=None, penalty=1.0) -> jax.Array:
+                                ban=None, penalty=1.0, ts_bounds=None,
+                                timestamp_begin=None) -> jax.Array:
     """XLA oracle with identical semantics (same padded operands)."""
     l = jnp.einsum("bd,dv->bv", hidden, table_t,
                    preferred_element_type=jnp.float32)
@@ -204,4 +323,16 @@ def fused_greedy_step_reference(hidden, table_t, add_vec, *, seen=None,
                       jnp.where(s, l * penalty, l))
     if ban is not None:
         l = jnp.where(ban != 0, NEG_INF, l)
-    return jnp.argmax(l, axis=-1).astype(jnp.int32)
+    if ts_bounds is None:
+        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+    tlo, thi, tcap = (x.astype(jnp.int32)[:, None] for x in ts_bounds)
+    g = jnp.arange(l.shape[1])[None, :]
+    tb = int(timestamp_begin)
+    l = jnp.where((g < tlo) | ((g >= tb) & (g < thi)) | (g > tcap),
+                  NEG_INF, l)
+    lse_ts = jax.nn.logsumexp(l[:, tb:], axis=-1)
+    max_text = jnp.max(l[:, :tb], axis=-1)
+    force = lse_ts > max_text
+    arg_all = jnp.argmax(l, axis=-1)
+    arg_ts = tb + jnp.argmax(l[:, tb:], axis=-1)
+    return jnp.where(force, arg_ts, arg_all).astype(jnp.int32)

@@ -114,25 +114,13 @@ def repetition_penalty(logits: jax.Array, tokens: jax.Array, pos: jax.Array,
     return jnp.where(seen, penalized, logits)
 
 
-def _timestamp_mask_cond(
-        tokens: jax.Array, pos: jax.Array, *, vocab: int,
-        begin_index: int, timestamp_begin: int, eos_token_id: int,
-        no_timestamps_token_id: int,
-        max_initial_timestamp_index: Optional[int]) -> jax.Array:
-    """(B, V) bool predicate of every timestamp rule EXCEPT the
-    probability rule (which needs reductions over the masked logits).
-    Built from per-row scalars broadcast against vocab iota — no (B, V)
-    memory reads — so consumers fuse it into whatever pass reads the
-    logits. Shared by `whisper_timestamp_rules` (full-distribution form,
-    for sampling/beam) and `whisper_timestamp_greedy_token` (fused
-    argmax form, for the greedy decode loop); their token parity rests
-    on this single predicate implementation."""
+def _timestamp_row_scalars(tokens: jax.Array, pos: jax.Array, *,
+                           begin_index: int, timestamp_begin: int):
+    """The per-row scalars every timestamp rule derives from — O(B*L)
+    work, trivial vs the (B, V) passes. Returns
+    (mask_ts, mask_text, has_ts, floor, at_begin)."""
     b = tokens.shape[0]
     length = tokens.shape[1]
-    vocab_ids = jnp.arange(vocab)
-    is_ts_vocab = vocab_ids >= timestamp_begin
-
-    # --- per-row scalars (O(B*L) work, trivial vs the (B, V) passes) ----
     last = jax.lax.dynamic_slice(
         tokens, (0, jnp.maximum(pos - 1, 0)), (b, 1))[:, 0]
     penult = jax.lax.dynamic_slice(
@@ -153,6 +141,77 @@ def _timestamp_mask_cond(
         tokens, jnp.maximum(last_idx, 0)[:, None], axis=1)[:, 0]
     floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
     at_begin = pos == begin_index
+    return mask_ts, mask_text, has_ts, floor, at_begin
+
+
+def timestamp_row_bounds(tokens: jax.Array, pos: jax.Array, *,
+                         begin_index: int, timestamp_begin: int,
+                         eos_token_id: int,
+                         max_initial_timestamp_index: Optional[int] = 50):
+    """Interval encoding of every pre-probability timestamp rule EXCEPT
+    the static <|notimestamps|> ban (position-independent — fold it into
+    the additive suppress vector). For vocab id v, the rules mask
+    exactly:
+
+        v < text_ban_below
+      | (timestamp_begin <= v < ts_ban_below)
+      | v > cap_above
+
+    Returns three (B,) int32 vectors:
+      text_ban_below  timestamp_begin when only timestamps are allowed
+                      (first generated position), eos_token_id after a
+                      lone timestamp (no normal text — in the real
+                      whisper vocab every text id is below eos), else 0
+      ts_ban_below    INT32_MAX after a timestamp pair (no timestamps),
+                      the monotonicity floor when the history has one,
+                      else timestamp_begin (empty interval)
+      cap_above       timestamp_begin + max_initial_timestamp_index at
+                      the first generated position, else INT32_MAX
+
+    This is `_timestamp_mask_cond` compressed to three per-row scalars
+    so a vocab-blocked kernel can apply the rules from iota compares in
+    registers (ops/decode_logits.py); equivalence with the predicate is
+    asserted in tests/test_decode.py."""
+    imax = jnp.int32(jnp.iinfo(jnp.int32).max)
+    mask_ts, mask_text, has_ts, floor, at_begin = _timestamp_row_scalars(
+        tokens, pos, begin_index=begin_index,
+        timestamp_begin=timestamp_begin)
+    text_ban_below = jnp.where(
+        at_begin, timestamp_begin,
+        jnp.where(mask_text, eos_token_id, 0)).astype(jnp.int32)
+    ts_ban_below = jnp.where(
+        mask_ts, imax,
+        jnp.where(has_ts, floor, timestamp_begin)).astype(jnp.int32)
+    # a mid-pair floor can exceed the vocab only via corrupt history;
+    # clamp is unnecessary (the interval just saturates)
+    if max_initial_timestamp_index is not None:
+        # at_begin is a per-step scalar — broadcast to (B,)
+        cap = jnp.int32(timestamp_begin + max_initial_timestamp_index)
+        cap_above = (jnp.where(at_begin, cap, imax)
+                     + jnp.zeros_like(text_ban_below))
+    else:
+        cap_above = jnp.full_like(text_ban_below, imax)
+    return text_ban_below, ts_ban_below, cap_above
+
+
+def _timestamp_mask_cond(
+        tokens: jax.Array, pos: jax.Array, *, vocab: int,
+        begin_index: int, timestamp_begin: int, eos_token_id: int,
+        no_timestamps_token_id: int,
+        max_initial_timestamp_index: Optional[int]) -> jax.Array:
+    """(B, V) bool predicate of every timestamp rule EXCEPT the
+    probability rule (which needs reductions over the masked logits).
+    Built from per-row scalars broadcast against vocab iota — no (B, V)
+    memory reads — so consumers fuse it into whatever pass reads the
+    logits. Shared by `whisper_timestamp_rules` (full-distribution form,
+    for sampling/beam) and `whisper_timestamp_greedy_token` (fused
+    argmax form, for the greedy decode loop); their token parity rests
+    on this single predicate implementation."""
+    vocab_ids = jnp.arange(vocab)
+    is_ts_vocab = vocab_ids >= timestamp_begin
+    mask_ts, mask_text, has_ts, floor, at_begin = _timestamp_row_scalars(
+        tokens, pos, begin_index=begin_index,
+        timestamp_begin=timestamp_begin)
 
     # --- ONE combined pre-probability mask over (B, V) ------------------
     # Every rule before the probability rule masks-to-NEG_INF from

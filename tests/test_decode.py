@@ -224,6 +224,45 @@ class TestTimestampRules:
                 got, full.argmax(-1).astype(np.int32),
                 err_msg=f"fused greedy token mismatch at pos={pos}")
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("max_initial", [None, 3, 50])
+    def test_row_bounds_equal_mask_predicate(self, hf_pair, seed,
+                                             max_initial):
+        """timestamp_row_bounds (the kernel's three-interval encoding)
+        must reproduce _timestamp_mask_cond exactly, minus the static
+        <|notimestamps|> term it delegates to the additive vector."""
+        _, cfg, _ = hf_pair
+        cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400,
+                          eos_token_id=398)
+        tb = cfg.timestamp_begin_id
+        begin = 2
+        rng = np.random.default_rng(200 + seed)
+        length = 12
+        vocab = cfg.vocab_size
+        toks = rng.integers(2, vocab, (4, length)).astype(np.int32)
+        toks[:, 0] = cfg.decoder_start_token_id
+        toks[1, 2] = 410                  # lone timestamp
+        toks[2, 2], toks[2, 3] = 410, 420  # pair
+        for pos in range(begin, length):
+            buf = np.zeros((4, length), np.int32)
+            buf[:, :pos] = toks[:, :pos]
+            want = np.asarray(lp._timestamp_mask_cond(
+                jnp.asarray(buf), jnp.asarray(pos), vocab=vocab,
+                begin_index=begin, timestamp_begin=tb,
+                eos_token_id=cfg.eos_token_id,
+                no_timestamps_token_id=cfg.no_timestamps_token_id,
+                max_initial_timestamp_index=max_initial))
+            tlo, thi, tcap = (np.asarray(x)[:, None]
+                              for x in lp.timestamp_row_bounds(
+                jnp.asarray(buf), jnp.asarray(pos), begin_index=begin,
+                timestamp_begin=tb, eos_token_id=cfg.eos_token_id,
+                max_initial_timestamp_index=max_initial))
+            g = np.arange(vocab)[None, :]
+            got = (g < tlo) | ((g >= tb) & (g < thi)) | (g > tcap)
+            got = got | (g == cfg.no_timestamps_token_id)  # delegated
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"pos={pos}")
+
 
 def test_timestamped_decode_produces_valid_structure(hf_pair):
     """End-to-end timestamped greedy decode on the toy model: timestamps
@@ -738,11 +777,164 @@ class TestFusedGreedyLogits:
     def test_resolve_gating(self):
         assert wdecode.resolve_logits_impl(
             DecodeConfig(logits_impl="fused", temperature=0.7)) == "xla"
+        # timestamped GREEDY decodes run in the kernel; sampling never
         assert wdecode.resolve_logits_impl(
             DecodeConfig(logits_impl="fused", return_timestamps=True)) \
-            == "xla"
+            == "fused"
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="fused", return_timestamps=True,
+                         temperature=0.7)) == "xla"
         assert wdecode.resolve_logits_impl(
             DecodeConfig(logits_impl="fused")) == "fused"
         # "auto" is backend-sensitive: XLA on the CPU test mesh
         assert wdecode.resolve_logits_impl(
             DecodeConfig(logits_impl="auto")) == "xla"
+        assert wdecode.resolve_logits_impl(
+            DecodeConfig(logits_impl="auto", return_timestamps=True)) \
+            == "xla"
+
+    def test_kernel_matches_reference_timestamps(self):
+        """Timestamp rules inside the kernel (interval bounds + online
+        probability rule) vs the XLA oracle, across bound patterns:
+        inert, begin-position (text banned + cap), post-pair (all ts
+        banned), monotonic floor, and rows biased so force_ts fires."""
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step, fused_greedy_step_reference,
+            pad_vocab)
+
+        rng = np.random.default_rng(7)
+        b, d, vocab, tb = 8, 128, 3100, 2800
+        imax = np.iinfo(np.int32).max
+        v_pad = pad_vocab(vocab)
+        hidden = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+        table = rng.standard_normal((d, v_pad)) * 0.05
+        # bias some rows' timestamp columns so lse_ts > max_text
+        table[:, tb:vocab] += 0.08
+        table_t = jnp.asarray(table, jnp.float32)
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        add[0, 2799] = NEG_INF  # "no_timestamps" slot
+        add = jnp.asarray(add)
+        tlo = np.zeros((b,), np.int32)
+        thi = np.full((b,), tb, np.int32)
+        tcap = np.full((b,), imax, np.int32)
+        tlo[1] = tb          # at-begin: only timestamps
+        tcap[1] = tb + 50
+        thi[2] = imax        # post-pair: no timestamps
+        thi[3] = tb + 700    # monotonic floor
+        tlo[4] = 2750        # post-single-ts: no normal text (< "eos")
+        bounds = tuple(jnp.asarray(x) for x in (tlo, thi, tcap))
+        seen = jnp.asarray(rng.integers(0, 2, (b, v_pad)), jnp.int8)
+        for kw in [dict(), dict(seen=seen, penalty=1.15)]:
+            got = fused_greedy_step(hidden, table_t, add,
+                                    ts_bounds=bounds, timestamp_begin=tb,
+                                    **kw)
+            want = fused_greedy_step_reference(
+                hidden, table_t, add, ts_bounds=bounds,
+                timestamp_begin=tb, **kw)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=str(sorted(kw)))
+            # the pattern above must actually exercise both argmax
+            # regions, or this test proves nothing about force_ts
+            assert np.any(np.asarray(want) >= tb)
+            assert np.any(np.asarray(want) < tb)
+
+    def test_kernel_ts_real_vocab_geometry(self):
+        """Timestamp path at the production geometry (V=51865, tb=50364
+        — the ts region spans the tile-49/50 boundary), interpret mode."""
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step, fused_greedy_step_reference,
+            pad_vocab)
+
+        rng = np.random.default_rng(11)
+        b, d, vocab, tb = 4, 384, 51865, 50364
+        imax = np.iinfo(np.int32).max
+        v_pad = pad_vocab(vocab)
+        hidden = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+        table = rng.standard_normal((d, v_pad)) * 0.05
+        table[:, tb:vocab] += 0.06  # make force_ts reachable
+        table_t = jnp.asarray(table, jnp.float32)
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        add[0, 50363] = NEG_INF
+        add = jnp.asarray(add)
+        tlo = np.array([0, tb, 0, 0], np.int32)
+        thi = np.array([tb, tb, imax, tb + 800], np.int32)
+        tcap = np.array([imax, tb + 50, imax, imax], np.int32)
+        bounds = tuple(jnp.asarray(x) for x in (tlo, thi, tcap))
+        got = fused_greedy_step(hidden, table_t, add, ts_bounds=bounds,
+                                timestamp_begin=tb)
+        want = fused_greedy_step_reference(hidden, table_t, add,
+                                           ts_bounds=bounds,
+                                           timestamp_begin=tb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_ts_reference_matches_rule_twin(self, hf_pair):
+        """The kernel's semantics contract: oracle(bounds from
+        timestamp_row_bounds, <|notimestamps|> folded into add) must
+        pick the same token as lp.whisper_timestamp_greedy_token — the
+        function the XLA decode path uses and the HF fuzz covers."""
+        from audio_transformers_tpu.ops.decode_logits import (
+            NEG_INF, fused_greedy_step_reference, pad_vocab)
+
+        _, cfg, _ = hf_pair
+        cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400,
+                          eos_token_id=398)
+        tb, begin = cfg.timestamp_begin_id, 2
+        vocab = cfg.vocab_size
+        v_pad = pad_vocab(vocab)
+        rng = np.random.default_rng(3)
+        length = 12
+        toks = rng.integers(2, vocab, (4, length)).astype(np.int32)
+        toks[:, 0] = cfg.decoder_start_token_id
+        toks[1, 2] = 410
+        toks[2, 2] = 410
+        toks[2, 3] = 420
+        add = np.zeros((1, v_pad), np.float32)
+        add[0, vocab:] = NEG_INF
+        add[0, cfg.no_timestamps_token_id] = NEG_INF
+        add = jnp.asarray(add)
+        # identity "projection": hidden IS the padded logits row
+        eye = jnp.eye(v_pad, dtype=jnp.float32)
+        for pos in range(begin, length):
+            logits = (rng.standard_normal((4, vocab)) * 2).astype(np.float32)
+            logits[::2, tb:] += 3.0  # force_ts on some rows
+            hidden = jnp.asarray(np.pad(logits,
+                                        ((0, 0), (0, v_pad - vocab))))
+            buf = np.zeros((4, length), np.int32)
+            buf[:, :pos] = toks[:, :pos]
+            bounds = lp.timestamp_row_bounds(
+                jnp.asarray(buf), jnp.asarray(pos), begin_index=begin,
+                timestamp_begin=tb, eos_token_id=cfg.eos_token_id)
+            got = np.asarray(fused_greedy_step_reference(
+                hidden, eye, add, ts_bounds=bounds, timestamp_begin=tb))
+            want = np.asarray(lp.whisper_timestamp_greedy_token(
+                jnp.asarray(logits), jnp.asarray(buf), jnp.asarray(pos),
+                begin_index=begin, timestamp_begin=tb,
+                eos_token_id=cfg.eos_token_id,
+                no_timestamps_token_id=cfg.no_timestamps_token_id,
+                max_initial_timestamp_index=50))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"pos={pos}")
+
+    def test_generate_token_parity_timestamps(self, hf_pair):
+        """End-to-end: fused timestamped greedy decode token-equals the
+        XLA path through `generate`, with the full processor stack on."""
+        _, cfg, params = hf_pair
+        cfg = cfg.replace(no_timestamps_token_id=399, timestamp_begin_id=400)
+        mel = jnp.asarray(_mel(3, 2 * cfg.max_source_positions, cfg.n_mels,
+                               seed=31))
+        enc = wm.encode_jit(params, cfg, mel, attn_impl="xla")
+        outs = {}
+        for impl in ("xla", "fused"):
+            dcfg = DecodeConfig(max_new_tokens=24, logits_impl=impl,
+                                return_timestamps=True,
+                                repetition_penalty=1.1,
+                                no_repeat_ngram_size=3)
+            outs[impl] = wdecode.generate(params, cfg, dcfg, enc,
+                                          prompt=(cfg.decoder_start_token_id,),
+                                          begin_suppress_ids=())
+        np.testing.assert_array_equal(np.asarray(outs["xla"]["tokens"]),
+                                      np.asarray(outs["fused"]["tokens"]))
+        np.testing.assert_array_equal(np.asarray(outs["xla"]["lengths"]),
+                                      np.asarray(outs["fused"]["lengths"]))
