@@ -61,6 +61,34 @@ _SCORE_FLOOR = -1.0e9   # HF's initial score for beams 1..N-1
 _EMPTY = -1.0e30        # empty hypothesis slot (any real score beats it)
 
 
+def _stable_top_k(x: jax.Array, k: int):
+    """Exact top-k over the last axis with lax.top_k's stable
+    first-occurrence tie order — as k sequential masked argmaxes.
+
+    jax.lax.top_k over the beam-candidate row lowers to a FULL variadic
+    sort on TPU: at B=128, N=4, V=51865 that is a 26.5M-element sort
+    per decode step, measured at ~60 ms/step — the entire beam-search
+    budget (BENCH r4 validation run: 66.2 ms/step vs greedy's 1.9).
+    k argmax passes are k linear VPU reductions over the same row
+    (~0.13 ms each at this geometry) and XLA updates the masked buffer
+    in place after the first copy.
+
+    Ties: argmax returns the first maximum, and masking the winner to
+    -inf makes the next pass return the next occurrence — exactly the
+    sorted-stable order lax.top_k documents (asserted against it in
+    tests/test_beam.py)."""
+    b = x.shape[0]
+    rows = jnp.arange(b)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0])
+        idxs.append(i.astype(jnp.int32))
+        cur = cur.at[rows, i].set(-jnp.inf)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "dcfg", "prompt", "suppress_ids",
@@ -188,7 +216,7 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
 
         cand = (logp + scores.reshape(n_rows, 1)).reshape(
             batch, n_beams * vocab)
-        top_s, top_i = jax.lax.top_k(cand, 2 * n_beams)        # sorted
+        top_s, top_i = _stable_top_k(cand, 2 * n_beams)        # sorted
         cand_beam = (top_i // vocab).astype(jnp.int32)
         cand_tok = (top_i % vocab).astype(jnp.int32)
         is_eos = cand_tok == cfg.eos_token_id

@@ -16,16 +16,21 @@ the (B, V) logits never reach HBM. Per-step traffic drops to the
 irreducible reads: the bf16 table (~40 MB) plus two int8 masks (~13 MB).
 
 Measured scope (v5e, B=128, V=51865, in the production decode loop):
-the kernel wins ONLY the penalty-without-ngram chain (1.042 vs 1.073
-ms/step) — the penalty's (B, V) elementwise passes are what force the
-XLA path to materialize the logits. Without processors XLA fuses
-dot+argmax into one consumer and keeps the bf16 table VMEM-resident
-across while-loop steps, beating the kernel's per-call HBM re-stream
-(0.986 vs 1.024); with ngram banning the int8 ban-mask build + read
-outweighs the fused pass (1.124 vs 1.158). resolve_logits_impl encodes
-exactly that scope for "auto". Standalone (outside the loop, where
-nothing is VMEM-resident) the full chain is 0.083 vs 0.128 ms/step in
-the kernel's favor — see scripts/decode_step_ab.py for the methodology.
+the kernel wins (a) the penalty-without-ngram chain (1.042 vs 1.073
+ms/step — the penalty's (B, V) elementwise passes force the XLA path
+to materialize the logits) and (b) every timestamped greedy chain
+(eval-serving config, int8 KV + penalty + ngram + timestamps, L=260:
+1.485 vs 1.826 — the rules' reduction passes don't fuse in XLA but
+ride this kernel's single traversal; tie at B=8, so no batch gate).
+Without processors XLA fuses dot+argmax into one consumer and keeps
+the bf16 table VMEM-resident across while-loop steps, beating the
+kernel's per-call HBM re-stream (0.986 vs 1.024); with ngram banning
+but no timestamps the int8 ban-mask build + read outweighs the fused
+pass (1.124 vs 1.158). resolve_logits_impl encodes exactly that scope
+for "auto". Standalone (outside the loop, where nothing is
+VMEM-resident) the full chain is 0.083 vs 0.128 ms/step in the
+kernel's favor — scripts/decode_step_ab.py for the methodology,
+scripts/ts_fused_kernel_ab.py for the timestamped numbers.
 
 Semantics match the XLA chain in models/whisper/decode._process_logits
 followed by argmax, token-for-token: suppress/begin are applied before
@@ -171,7 +176,15 @@ def _kernel(h_ref, t_ref, add_ref, seen_ref, ban_ref, *refs,
             # half) in raw-logit space (identical to the XLA twin,
             # lp.whisper_timestamp_greedy_token) and pick the region
             # argmax accordingly — s >= 1 (the running-max lane
-            # contributes exp(0)), so the log is safe
+            # contributes exp(0)), so the log is safe. The tile-wise
+            # online sum orders the f32 additions differently from
+            # jax.nn.logsumexp, so lse can differ from the twin by a few
+            # ulp — the force predicate flips only if lse and max_text
+            # tie within that (~1e-7 relative; the same caveat the twin
+            # documents vs HF's log-softmax form). The exact-equality
+            # parity tests accept this residual risk deliberately: a
+            # tie that fine is measure-zero for real logits, and the
+            # asserts double as detectors for any REAL semantic break.
             lse = mts_ref[:, :1] + jnp.log(sts_ref[:, :1])
             force = lse > mtx_ref[:, :1]
             tok = jnp.where(force, its_ref[:, :1], i_ref[:, :1])

@@ -93,10 +93,15 @@ def main(argv=None):
         "rule2pass": (rule2pass_token, dict(return_timestamps=True), L - 2),
     }
 
+    # logits_impl pinned to "xla": this script attributes the XLA rule
+    # forms; "auto" now routes timestamped greedy chains to the fused
+    # Pallas kernel (which never calls whisper_timestamp_greedy_token,
+    # making the monkeypatch inert) — scripts/ts_fused_kernel_ab.py is
+    # the kernel-vs-XLA comparison.
     for name, (token_fn, kw, length) in variants.items():
         lp.whisper_timestamp_greedy_token = token_fn
         dcfg = DecodeConfig(max_new_tokens=length, kv_quant="none",
-                            repetition_penalty=1.15,
+                            repetition_penalty=1.15, logits_impl="xla",
                             no_repeat_ngram_size=3, **kw)
         prompt = wdecode.build_prompt(w, dcfg)
         out = wdecode.generate(params["whisper"], w, dcfg, enc0,
@@ -109,7 +114,7 @@ def main(argv=None):
         for name, (token_fn, kw, length) in variants.items():
             lp.whisper_timestamp_greedy_token = token_fn
             dcfg = DecodeConfig(max_new_tokens=length, kv_quant="none",
-                                repetition_penalty=1.15,
+                                repetition_penalty=1.15, logits_impl="xla",
                                 no_repeat_ngram_size=3, **kw)
             prompt = wdecode.build_prompt(w, dcfg)
             t0 = time.perf_counter()

@@ -137,6 +137,34 @@ class TestBeamHFParity:
         _compare(out, want, len(prompt))
 
 
+class TestStableTopK:
+    """_stable_top_k (k masked argmaxes — the TPU-fast replacement for
+    lax.top_k's full-sort lowering) must equal lax.top_k exactly,
+    including its stable first-occurrence tie order."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_lax_top_k_random(self, seed):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((7, 4093)), jnp.float32)
+        want_v, want_i = jax.lax.top_k(x, 8)
+        got_v, got_i = wbeam._stable_top_k(x, 8)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_tie_order(self):
+        # duplicated maxima across the row, including across the "beam"
+        # boundary of a flattened candidate row: first occurrence wins,
+        # then the next occurrence — lax.top_k's documented stable order
+        x = np.zeros((2, 64), np.float32)
+        x[0, [5, 20, 33]] = 7.0
+        x[0, [6, 21]] = 3.0
+        x[1, :] = 1.0  # fully tied row
+        want_v, want_i = jax.lax.top_k(jnp.asarray(x), 6)
+        got_v, got_i = wbeam._stable_top_k(jnp.asarray(x), 6)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 class TestBeamSemantics:
     def test_rejects_single_beam_and_temperature(self, hf_pair):
         _, cfg, params = hf_pair
