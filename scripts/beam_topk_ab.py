@@ -10,8 +10,11 @@ passes — exact, same stable tie order.
 Variants (distinct max_new_tokens => distinct jit cache entries;
 the selection fn is monkeypatched before trace):
 
-  sort_topk   jax.lax.top_k (the old selection)
-  argmax_topk _stable_top_k (production)
+  sort_topk    jax.lax.top_k (the original selection; skipped unless
+               --include-sort — it costs ~60 ms/step to re-measure)
+  argmax_topk  _masked_argmax_top_k (2k full passes; the r4 first fix)
+  bucket_topk  _stable_top_k (production: bucketized two-level — one
+               max-reduction pass + top-k buckets + small-union finish)
 
 Full beam decodes at b128/N=4, differenced over two lengths per
 variant to cancel dispatch + the final teacher-forced pass.
@@ -34,6 +37,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--include-sort", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -72,9 +76,11 @@ def main(argv=None):
 
     prod = wbeam._stable_top_k
     variants = {
-        "sort_topk": (lambda x, k: jax.lax.top_k(x, k), 0),
-        "argmax_topk": (prod, 2),
+        "argmax_topk": (wbeam._masked_argmax_top_k, 2),
+        "bucket_topk": (prod, 4),
     }
+    if args.include_sort:
+        variants["sort_topk"] = (lambda x, k: jax.lax.top_k(x, k), 0)
 
     def run(sel, length):
         wbeam._stable_top_k = sel

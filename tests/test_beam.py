@@ -164,6 +164,46 @@ class TestStableTopK:
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
+    def test_bucketized_path_ties(self):
+        # rows long enough to engage the bucketized two-level path
+        # (nb > 2k), with adversarial tie layouts: more tied buckets
+        # than k, ties spanning bucket boundaries, many occurrences of
+        # the k-th value inside one bucket, and a non-multiple-of-128
+        # row length exercising the -inf pad
+        k = 4
+        n = 20 * wbeam._BUCKET + 37
+        x = np.full((4, n), -5.0, np.float32)
+        # row 0: k-th value tied across 12 buckets (> k)
+        for b in range(12):
+            x[0, b * wbeam._BUCKET + 7] = 2.0
+        x[0, 3] = 9.0  # one strictly-greater element
+        # row 1: top values straddle a bucket boundary
+        x[1, wbeam._BUCKET - 1] = 4.0
+        x[1, wbeam._BUCKET] = 4.0
+        x[1, 5 * wbeam._BUCKET + 2] = 4.0
+        # row 2: one bucket holds several top-k occurrences
+        x[2, [200, 201, 205]] = 3.0
+        x[2, 9 * wbeam._BUCKET] = 3.0
+        # row 3: maxima in the final (padded) partial bucket
+        x[3, n - 1] = 8.0
+        x[3, n - 2] = 8.0
+        want_v, want_i = jax.lax.top_k(jnp.asarray(x), k)
+        got_v, got_i = wbeam._stable_top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_bucketized_path_random_large(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        # integer-valued so ties actually occur at random positions
+        x = jnp.asarray(
+            rng.integers(-40, 40, size=(3, 6 * 51865 // 10)),
+            jnp.float32)
+        want_v, want_i = jax.lax.top_k(x, 8)
+        got_v, got_i = wbeam._stable_top_k(x, 8)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
 
 class TestBeamSemantics:
     def test_rejects_single_beam_and_temperature(self, hf_pair):
