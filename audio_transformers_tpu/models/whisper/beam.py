@@ -259,10 +259,15 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         # HF beam mode: log-softmax FIRST, processors on the log-probs
         logp = jax.nn.log_softmax(logits, axis=-1)
         row_done = jnp.repeat(done, n_beams)
+        # ngram_impl="mask": in beam mode the ngram f32 scatter combined
+        # with the penalty where-fusion is an XLA pathology (+9.4
+        # ms/step at b128/N=4 where each rule alone is ~free); the bool
+        # mask + where composition fuses — 17.3 -> 9.0 ms/step,
+        # token-equal (scripts/beam_procfix_ab.py)
         logp = _process_logits(logp, tokens, pos, cfg, dcfg, p_len,
                                suppress_ids, begin_suppress_ids,
                                seen=seen if track_seen else None,
-                               finished=row_done)
+                               finished=row_done, ngram_impl="mask")
 
         cand = (logp + scores.reshape(n_rows, 1)).reshape(
             batch, n_beams * vocab)

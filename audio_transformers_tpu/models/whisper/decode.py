@@ -185,7 +185,8 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
                     dcfg: DecodeConfig, prompt_len: int,
                     suppress_ids: Tuple[int, ...],
                     begin_suppress_ids: Tuple[int, ...],
-                    seen=None, finished=None, timestamp_rule=True):
+                    seen=None, finished=None, timestamp_rule=True,
+                    ngram_impl: str = "auto"):
     # Fused composition of the HF chain (suppress -> begin-suppress ->
     # repetition penalty -> no-repeat-ngram), identical math. The static
     # suppress masks are one fused elementwise pass over the (B, V)
@@ -206,6 +207,9 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     #   - long buffers: materialize a (B, V) boolean mask (measured: at
     #     L=268/B=128 the fp32 scatters cost 1.75 ms/step vs ~0.3 for
     #     masks; at L=68 the scatter path is ~0.1 ms cheaper)
+    # ngram_impl="mask" (beam mode) forces the boolean-mask form
+    # unconditionally — see the in-branch comment for the measured
+    # scatter+penalty combination pathology it avoids.
     vocab = logits.shape[-1]
     b = logits.shape[0]
     b_idx = jnp.arange(b)[:, None]
@@ -232,23 +236,38 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
     if dcfg.no_repeat_ngram_size and \
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
-        idx, overflow, (flag, cont) = _ngram_ban_targets(
-            tokens, pos, n, vocab, finished)
-        if overflow is None:
-            logits = logits.at[b_idx, idx].set(lp.NEG_INF)
+        if ngram_impl == "mask":
+            # beam mode: the f32 scatter COMBINED with the repetition-
+            # penalty where-fusion over the log-softmaxed (B*N, V)
+            # buffer is an XLA pathology — pen alone -0.08 ms/step,
+            # ngram alone +0.12, together +9.4 at b128/N=4 on v5e. The
+            # bool-mask build + where is elementwise after the penalty
+            # pass and fuses: 17.3 -> 9.0 ms/step, token-equal
+            # (scripts/beam_procfix_ab.py; parity
+            # tests/test_beam.py::test_matches_hf_with_processors)
+            flag, cont, _ = _ngram_window_flags(tokens, pos, n, finished)
+            banned = jnp.zeros((b, vocab), bool).at[
+                b_idx, cont].max(flag)
+            logits = jnp.where(banned, lp.NEG_INF, logits)
         else:
-            # long buffers: B*K compacted scatter (vs B*W — the dense
-            # bool scatter measured 0.29 ms/step at L=268/B=128), exact
-            # dense cond-fallback on top-K overflow
-            def sparse(lg):
-                return lg.at[b_idx, idx].set(lp.NEG_INF)
+            idx, overflow, (flag, cont) = _ngram_ban_targets(
+                tokens, pos, n, vocab, finished)
+            if overflow is None:
+                logits = logits.at[b_idx, idx].set(lp.NEG_INF)
+            else:
+                # long buffers: B*K compacted scatter (vs B*W — the
+                # dense bool scatter measured 0.29 ms/step at
+                # L=268/B=128), exact dense cond-fallback on top-K
+                # overflow
+                def sparse(lg):
+                    return lg.at[b_idx, idx].set(lp.NEG_INF)
 
-            def dense(lg):
-                banned = jnp.zeros((b, vocab), bool).at[
-                    b_idx, cont].max(flag)
-                return jnp.where(banned, lp.NEG_INF, lg)
+                def dense(lg):
+                    banned = jnp.zeros((b, vocab), bool).at[
+                        b_idx, cont].max(flag)
+                    return jnp.where(banned, lp.NEG_INF, lg)
 
-            logits = jax.lax.cond(overflow, dense, sparse, logits)
+                logits = jax.lax.cond(overflow, dense, sparse, logits)
     if dcfg.return_timestamps and timestamp_rule:
         logits = lp.whisper_timestamp_rules(
             logits, tokens, pos,

@@ -88,8 +88,12 @@ def main(argv=None):
     # name -> (dcfg overrides, topk fn, log_softmax fn, length offset)
     proc = dict(repetition_penalty=1.15, no_repeat_ngram_size=3)
     nop = dict(repetition_penalty=1.0, no_repeat_ngram_size=0)
+    pen = dict(repetition_penalty=1.15, no_repeat_ngram_size=0)
+    ngr = dict(repetition_penalty=1.0, no_repeat_ngram_size=3)
     variants = {
         "full": (proc, prod_topk, prod_lsm, 0),
+        "pen_only": (pen, prod_topk, prod_lsm, 8),
+        "ngram_only": (ngr, prod_topk, prod_lsm, 10),
         "noproc": (nop, prod_topk, prod_lsm, 2),
         "nosel": (nop, stub_topk, prod_lsm, 4),
         "base": (nop, stub_topk, ident_lsm, 6),
@@ -131,7 +135,9 @@ def main(argv=None):
         ms[name] = (hi - lo) / (L_hi - L_lo) * 1e3
         print(f"{name:8s} marginal {ms[name]:7.3f} ms/step "
               f"(totals {hi * 1e3:.0f} / {lo * 1e3:.0f} ms)", flush=True)
-    print(f"processors {ms['full'] - ms['noproc']:+.3f}  "
+    print(f"processors {ms['full'] - ms['noproc']:+.3f} "
+          f"(pen {ms['pen_only'] - ms['noproc']:+.3f}, "
+          f"ngram {ms['ngram_only'] - ms['noproc']:+.3f})  "
           f"selection {ms['noproc'] - ms['nosel']:+.3f}  "
           f"log_softmax {ms['nosel'] - ms['base']:+.3f}  "
           f"fwd+reorder {ms['base']:.3f}", flush=True)

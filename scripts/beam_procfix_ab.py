@@ -1,0 +1,157 @@
+"""Hunt the beam processor-combination blow-up on chip.
+
+scripts/beam_phase_ab.py measured (same process, interleaved):
+  penalty alone  -0.08 ms/step        ngram alone  +0.12 ms/step
+  penalty+ngram  +9.42 ms/step  (!)
+The blow-up exists only in the COMBINATION: the ngram f32 scatter whose
+operand is the penalty where-fusion over the log-softmaxed (B*N, V)
+buffer. Candidate fixes, each a full generate_beam run with
+wbeam._process_logits monkeypatched (distinct max_new_tokens per
+variant => distinct jit cache entries):
+
+  full       production composition (suppress -> pen -> ngram scatter)
+  maskngram  ngram as a bool scatter into a (B, V) mask + where
+             (pure elementwise after the mask build — fuses with the
+             penalty pass instead of scattering into its output)
+  swap       ngram scatter FIRST (operand = plain logp, which the
+             softmax already materialized), penalty where AFTER
+             (value-equivalent: banned entries stay at the floor)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.core.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    EmotionWhisperConfig,
+                                                    MelConfig)
+    from audio_transformers_tpu.models import whisper as wm
+    from audio_transformers_tpu.models.whisper import beam as wbeam
+    from audio_transformers_tpu.models.whisper import decode as wdecode
+    from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.ops import logit_processors as lp
+    from audio_transformers_tpu.ops.mel import log_mel
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = EmotionWhisperConfig()
+    w = cfg.whisper
+    mel_cfg = MelConfig.whisper()
+    compute = jnp.bfloat16 if on_tpu else jnp.float32
+    B = args.batch if on_tpu else 4
+    REPS = args.reps if on_tpu else 1
+    L_hi, L_lo = (64, 16) if on_tpu else (16, 8)
+
+    rng = np.random.default_rng(0)
+    waveform = jnp.asarray(
+        (rng.standard_normal((B, mel_cfg.sample_rate * 30)) * 0.1)
+        .astype(np.float32))
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    mel0 = jax.jit(lambda wv: log_mel(wv, mel_cfg, precision="high")
+                   .astype(compute))(waveform)
+    enc0 = wm.encode_jit(params["whisper"], w, mel0, attn_impl="auto")
+
+    orig = wdecode._process_logits
+
+    def _ngram_mask(out, tokens, pos, n, finished):
+        flag, cont, _ = lp.ngram_window_match(tokens, pos, n)
+        if finished is not None:
+            flag &= ~finished[:, None]
+        b = tokens.shape[0]
+        banned = jnp.zeros((b, out.shape[-1]), bool).at[
+            jnp.arange(b)[:, None], cont].max(flag)
+        return jnp.where(banned, lp.NEG_INF, out)
+
+    def maskngram(logits, tokens, pos, cfg_, dcfg, p_len, sup, bsup,
+                  seen=None, finished=None, timestamp_rule=True):
+        d2 = dcfg.replace(no_repeat_ngram_size=0)
+        out = orig(logits, tokens, pos, cfg_, d2, p_len, sup, bsup,
+                   seen=seen, finished=finished,
+                   timestamp_rule=timestamp_rule)
+        n = dcfg.no_repeat_ngram_size
+        if n and tokens.shape[1] >= n:
+            out = _ngram_mask(out, tokens, pos, n, finished)
+        return out
+
+    def swap(logits, tokens, pos, cfg_, dcfg, p_len, sup, bsup,
+             seen=None, finished=None, timestamp_rule=True):
+        n = dcfg.no_repeat_ngram_size
+        if n and tokens.shape[1] >= n:
+            idx, overflow, (flag, cont) = wdecode._ngram_ban_targets(
+                tokens, pos, n, logits.shape[-1], finished)
+            b_idx = jnp.arange(logits.shape[0])[:, None]
+            if overflow is None:
+                logits = logits.at[b_idx, idx].set(lp.NEG_INF)
+            else:
+                logits = _ngram_mask(logits, tokens, pos, n, finished)
+        d2 = dcfg.replace(no_repeat_ngram_size=0)
+        return orig(logits, tokens, pos, cfg_, d2, p_len,
+                    sup, bsup, seen=seen, finished=finished,
+                    timestamp_rule=timestamp_rule)
+
+    variants = {
+        "full": (orig, 0),
+        "maskngram": (maskngram, 2),
+        "swap": (swap, 4),
+    }
+
+    def run(fn, length):
+        wbeam._process_logits = fn
+        try:
+            dcfg = DecodeConfig(max_new_tokens=length, num_beams=4,
+                                repetition_penalty=1.15,
+                                no_repeat_ngram_size=3)
+            prompt = wdecode.build_prompt(w, dcfg)
+            return wbeam.generate_beam(params["whisper"], w, dcfg, enc0,
+                                       prompt=prompt, max_len=length)
+        finally:
+            wbeam._process_logits = orig
+
+    for name, (fn, off) in variants.items():
+        for length in (L_hi - off, L_lo - off):
+            out = run(fn, length)
+            int(np.asarray(out["lengths"][0]))
+        print(f"compiled {name}", flush=True)
+
+    best = {}
+    for _ in range(args.rounds):
+        for name, (fn, off) in variants.items():
+            for length in (L_hi - off, L_lo - off):
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    out = run(fn, length)
+                int(np.asarray(out["lengths"][0]))
+                k = (name, length)
+                best[k] = min(best.get(k, float("inf")),
+                              (time.perf_counter() - t0) / REPS)
+
+    for name, (fn, off) in variants.items():
+        hi, lo = best[(name, L_hi - off)], best[(name, L_lo - off)]
+        ms = (hi - lo) / (L_hi - L_lo) * 1e3
+        print(f"{name:10s} marginal {ms:7.3f} ms/step "
+              f"(totals {hi * 1e3:.0f} / {lo * 1e3:.0f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
