@@ -16,6 +16,16 @@ variant => distinct jit cache entries):
   swap       ngram scatter FIRST (operand = plain logp, which the
              softmax already materialized), penalty where AFTER
              (value-equivalent: banned entries stay at the floor)
+
+OUTCOME (r4 judge + r5 re-measurement): the r4 run of this script
+reported maskngram at 9.0 ms/step vs full 17.3; that number was a
+one-off artifact — the judge's interleaved on-chip probes measured
+production (which ships the maskngram composition) at 16.9 and the
+scatter composition at 16.85, i.e. NO difference. The r4 script could
+not even re-run against production (TypeError on the then-new
+ngram_impl kwarg — fixed above). The real beam overhead decomposition
+lives in scripts/beam_stage_ab.py; this script is kept as the
+processor-composition A/B only.
 """
 
 from __future__ import annotations
@@ -83,8 +93,15 @@ def main(argv=None):
             jnp.arange(b)[:, None], cont].max(flag)
         return jnp.where(banned, lp.NEG_INF, out)
 
+    # NOTE: the monkeypatched variants must accept every kwarg production
+    # passes — beam.py now calls _process_logits(..., ngram_impl="mask")
+    # (r4's judge found the then-frozen signatures raised TypeError at
+    # trace time, which is how a non-reproducing number shipped as a
+    # commit headline). The variants implement their own ngram routing,
+    # so they accept-and-ignore the production hint.
     def maskngram(logits, tokens, pos, cfg_, dcfg, p_len, sup, bsup,
-                  seen=None, finished=None, timestamp_rule=True):
+                  seen=None, finished=None, timestamp_rule=True,
+                  ngram_impl="auto"):
         d2 = dcfg.replace(no_repeat_ngram_size=0)
         out = orig(logits, tokens, pos, cfg_, d2, p_len, sup, bsup,
                    seen=seen, finished=finished,
@@ -95,7 +112,8 @@ def main(argv=None):
         return out
 
     def swap(logits, tokens, pos, cfg_, dcfg, p_len, sup, bsup,
-             seen=None, finished=None, timestamp_rule=True):
+             seen=None, finished=None, timestamp_rule=True,
+             ngram_impl="auto"):
         n = dcfg.no_repeat_ngram_size
         if n and tokens.shape[1] >= n:
             idx, overflow, (flag, cont) = wdecode._ngram_ban_targets(

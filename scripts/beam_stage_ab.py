@@ -1,0 +1,384 @@
+"""Full-stage attribution of the beam-search decode step (VERDICT r4 #1).
+
+Production beam-4 measures ~16.9 ms/step at the bench config (b128, bf16
+KV, pen 1.15 + ngram 3) vs greedy's 1.95 — ~15 ms/step of overhead that
+scripts/beam_phase_ab.py never decomposed (it only toggled processors).
+This script rebuilds the beam loop CUMULATIVELY, one stage at a time, so
+every stage gets a measured marginal and the stage marginals sum to the
+production step:
+
+  step      decoder step at B*N rows (cross K/V shared at B rows)
+  logits    + (B*N, V) vocab projection + f32 log-softmax
+  procs     + the processor chain (pen 1.15 + ngram bool-mask, carried
+              seen mask) — production's ngram_impl="mask" composition
+  topk      + candidate buffer (logp + scores, reshape to (B, N*V)) +
+              bucketized stable top-2N + slot selection
+  reorder   + per-step parent gather of tokens / self-KV cache / seen
+  hyp       + EOS retirement (_offer x N) + done logic  ~= production
+  prod      the real generate_beam, as the harness-validity check
+
+Methodology (CLAUDE.md): every variant is one jitted program per token
+budget; two budgets are differenced ((64 - 16)/48) so dispatch and fetch
+cancel; variants run interleaved round-robin, min per (variant, budget)
+across rounds, difference the mins. All stage loops consume their carries
+(acc folds a column of every live buffer) so nothing is DCE'd or hoisted.
+
+--micro additionally probes isolated suspects inside scan bodies:
+  the unaligned (B*N, V) -> (B, N*V) f32 reshape (51865 % 128 != 0 forces
+  a cross-lane relayout), the 8-buffer cache row-gather, and the f32
+  log-softmax passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--beams", type=int, default=4)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--micro", action="store_true")
+    p.add_argument("--stages", type=str, default="",
+                   help="comma list to restrict (default: all)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_transformers_tpu.core.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    from audio_transformers_tpu.core.config import (DecodeConfig,
+                                                    EmotionWhisperConfig,
+                                                    MelConfig)
+    from audio_transformers_tpu.models import whisper as wm
+    from audio_transformers_tpu.models.whisper import beam as wbeam
+    from audio_transformers_tpu.models.whisper import decode as wdecode
+    from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.ops.mel import log_mel
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = EmotionWhisperConfig()
+    w = cfg.whisper
+    mel_cfg = MelConfig.whisper()
+    compute = jnp.bfloat16 if on_tpu else jnp.float32
+    B = args.batch if on_tpu else 4
+    N = args.beams
+    REPS = args.reps if on_tpu else 1
+    HI, LO = (64, 16) if on_tpu else (10, 4)
+
+    rng = np.random.default_rng(0)
+    waveform = jnp.asarray(
+        (rng.standard_normal((B, mel_cfg.sample_rate * 30)) * 0.1)
+        .astype(np.float32))
+    params = emo.init(jax.random.PRNGKey(0), cfg)
+    mel0 = jax.jit(lambda wv: log_mel(wv, mel_cfg, precision="high")
+                   .astype(compute))(waveform)
+    enc0 = wm.encode_jit(params["whisper"], w, mel0, attn_impl="auto")
+    enc0.block_until_ready()
+
+    dcfg = DecodeConfig(max_new_tokens=HI, num_beams=N,
+                        repetition_penalty=1.15, no_repeat_ngram_size=3)
+    prompt = wdecode.build_prompt(w, dcfg)
+    prompt_arr = jnp.asarray(prompt, jnp.int32)
+    p_len = len(prompt)
+    vocab = w.vocab_size
+    n_rows = B * N
+
+    def sync(x):
+        return float(np.asarray(x.reshape(-1)[0], np.float32))
+
+    def min_time(call, reps):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(call())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # ------------------------------------------------------------------
+    # cumulative stage harness: one jitted fn per (stage, budget)
+    # ------------------------------------------------------------------
+    STAGE_ORDER = ["step", "logits", "procs", "topk", "reorder", "hyp"]
+
+    @functools.partial(jax.jit, static_argnames=("stage", "budget"))
+    def run_stage(params, enc, *, stage: str, budget: int):
+        lvl = STAGE_ORDER.index(stage)
+        L = p_len + budget
+        lp_pen = float(dcfg.length_penalty)
+        tokens = jnp.full((n_rows, L), w.pad_token_id, jnp.int32)
+        tokens = tokens.at[:, :p_len].set(prompt_arr[None, :])
+        scores = jnp.full((B, N), wbeam._SCORE_FLOOR, jnp.float32)
+        scores = scores.at[:, 0].set(0.0)
+        cache = wm.init_cache(w, n_rows, max_len=L, dtype=enc.dtype)
+        cross = wm.precompute_cross_attention(params, w, enc)
+        step_params = wm.prepare_decode_params(params, w, dtype=enc.dtype)
+        seen = jnp.zeros((n_rows, vocab), bool).at[
+            jnp.arange(n_rows), tokens[:, 0]].set(True)
+        hyp_tokens = jnp.full((B, N, L), w.pad_token_id, jnp.int32)
+        hyp_scores = jnp.full((B, N), wbeam._EMPTY, jnp.float32)
+        hyp_lens = jnp.zeros((B, N), jnp.int32)
+        done = jnp.zeros((B,), bool)
+        b1 = jnp.arange(B)
+        b2 = b1[:, None]
+        beam_iota = jnp.arange(N)[None, :]
+        acc0 = jnp.float32(0.0)
+
+        sup = ()
+        bsup = ((wdecode._SPACE_TOKEN, w.eos_token_id)
+                if dcfg.suppress_blank else ())
+
+        def body(state):
+            (tokens, scores, cache, hyp_tokens, hyp_scores, hyp_lens,
+             done, seen, acc) = state
+            i = cache["index"]
+            tok = jax.lax.dynamic_slice(tokens, (0, i), (n_rows, 1))[:, 0]
+            hidden, cache = wm.apply_decoder_step(
+                params, w, tok, cache, cross, step_params=step_params,
+                attn_impl="xla", beams=N)
+            pos = i + 1
+            in_prompt = pos < p_len
+            forced = prompt_arr[jnp.minimum(pos, p_len - 1)]
+
+            if lvl == 0:      # decoder step only
+                nxt_rows = (jnp.argmax(hidden, axis=-1).astype(jnp.int32)
+                            % 100 + 1000)
+                acc += jnp.sum(hidden[:, 0].astype(jnp.float32)) * 1e-30
+                nxt_rows = jnp.where(in_prompt, forced, nxt_rows)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt_rows[:, None], (0, pos))
+                return (tokens, scores, cache, hyp_tokens, hyp_scores,
+                        hyp_lens, done, seen, acc)
+
+            table = step_params["embed"]["table"].astype(hidden.dtype)
+            logits = jnp.einsum("bd,vd->bv", hidden, table,
+                                preferred_element_type=jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            # keep the normalizer alive regardless of the consumer below
+            acc += jnp.sum(jax.lax.dynamic_slice(
+                logp, (0, 0), (n_rows, 1))) * 1e-30
+
+            if lvl >= 2:      # + processors (production composition)
+                row_done = jnp.repeat(done, N)
+                logp = wdecode._process_logits(
+                    logp, tokens, pos, w, dcfg, p_len, sup, bsup,
+                    seen=seen, finished=row_done, ngram_impl="mask")
+
+            if lvl == 1 or lvl == 2:
+                nxt_rows = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                nxt_rows = jnp.where(in_prompt, forced, nxt_rows)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt_rows[:, None], (0, pos))
+                seen = seen.at[jnp.arange(n_rows), nxt_rows].set(True)
+                return (tokens, scores, cache, hyp_tokens, hyp_scores,
+                        hyp_lens, done, seen, acc)
+
+            # lvl >= 3: candidate buffer + stable top-2N + slot selection
+            cand = (logp + scores.reshape(n_rows, 1)).reshape(B, N * vocab)
+            top_s, top_i = wbeam._stable_top_k(cand, 2 * N)
+            cand_beam = (top_i // vocab).astype(jnp.int32)
+            cand_tok = (top_i % vocab).astype(jnp.int32)
+            is_eos = cand_tok == w.eos_token_id
+            rank_ne = jnp.cumsum(~is_eos, axis=1)
+            slot = jnp.where(~is_eos & (rank_ne <= N), rank_ne - 1, N)
+            sel = jnp.zeros((B, N + 1), jnp.int32).at[b2, slot].set(
+                jnp.broadcast_to(jnp.arange(2 * N)[None, :],
+                                 slot.shape))[:, :N]
+            nxt_scores = jnp.take_along_axis(top_s, sel, axis=1)
+            nxt_tok = jnp.take_along_axis(cand_tok, sel, axis=1)
+            parent = jnp.take_along_axis(cand_beam, sel, axis=1)
+
+            if lvl >= 5:      # + EOS retirement and the stop rule
+                gen_len = jnp.maximum(pos + 1 - p_len, 1) \
+                    .astype(jnp.float32)
+                denom = gen_len ** lp_pen
+                tok3 = tokens.reshape(B, N, L)
+                eos_col = jnp.full((B, 1), w.eos_token_id, jnp.int32)
+                for j in range(N):
+                    accept = is_eos[:, j] & ~done & ~in_prompt
+                    hist = jax.lax.dynamic_update_slice(
+                        tok3[b1, cand_beam[:, j]], eos_col, (0, pos))
+                    hyp_tokens, hyp_scores, hyp_lens = _offer(
+                        hyp_tokens, hyp_scores, hyp_lens, accept,
+                        top_s[:, j] / denom, hist, pos + 1)
+                full = jnp.sum(hyp_scores > wbeam._EMPTY / 2, axis=1) == N
+                attain = top_s[:, 0] / denom
+                newly = full & (jnp.min(hyp_scores, axis=1) >= attain)
+                done = done | (newly & ~in_prompt)
+
+            freeze = in_prompt | done[:, None]
+            nxt_tok = jnp.where(done[:, None], w.pad_token_id,
+                                jnp.where(in_prompt, forced, nxt_tok))
+            parent = jnp.where(freeze, beam_iota, parent)
+            nxt_scores = jnp.where(freeze, scores, nxt_scores)
+
+            if lvl >= 4:      # + the per-step parent reorder
+                flat_parent = (b2 * N + parent).reshape(-1)
+                tokens = jnp.take(tokens, flat_parent, axis=0)
+                cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
+                             if isinstance(v, list) else v)
+                         for k, v in cache.items()}
+                seen = jnp.take(seen, flat_parent, axis=0)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
+            seen = seen.at[jnp.arange(n_rows),
+                           nxt_tok.reshape(-1)].set(True)
+            return (tokens, nxt_scores, cache, hyp_tokens, hyp_scores,
+                    hyp_lens, done, seen, acc)
+
+        def _offer(hyp_tokens, hyp_scores, hyp_lens, accept, norm, hist,
+                   length):
+            worst_slot = jnp.argmin(hyp_scores, axis=1)
+            cur_worst = jnp.take_along_axis(hyp_scores,
+                                            worst_slot[:, None], 1)[:, 0]
+            do = accept & (norm > cur_worst)
+            cur_tok = hyp_tokens[b1, worst_slot]
+            hyp_tokens = hyp_tokens.at[b1, worst_slot].set(
+                jnp.where(do[:, None], hist, cur_tok))
+            hyp_scores = hyp_scores.at[b1, worst_slot].set(
+                jnp.where(do, norm, cur_worst))
+            hyp_lens = hyp_lens.at[b1, worst_slot].set(
+                jnp.where(do, length, hyp_lens[b1, worst_slot]))
+            return hyp_tokens, hyp_scores, hyp_lens
+
+        def cond(state):
+            cache = state[2]
+            done = state[6]
+            return (cache["index"] < L - 1) & ~jnp.all(done)
+
+        state = (tokens, scores, cache, hyp_tokens, hyp_scores, hyp_lens,
+                 done, seen, acc0)
+        state = jax.lax.while_loop(cond, body, state)
+        tokens, scores, _, _, hyp_scores, _, _, _, acc = (
+            state[0], state[1], state[2], state[3], state[4], state[5],
+            state[6], state[7], state[8])
+        out = (jnp.sum(tokens).astype(jnp.float32) * 1e-30
+               + jnp.sum(scores) * 1e-30 + acc)
+        if lvl >= 5:
+            out = out + jnp.sum(hyp_scores) * 1e-30
+        return out.reshape(1)
+
+    def run_prod(budget: int):
+        d2 = dcfg.replace(max_new_tokens=budget)
+        return wbeam.generate_beam(params["whisper"], w, d2, enc0,
+                                   prompt=prompt)["lengths"]
+
+    stages = ([s for s in STAGE_ORDER if s in args.stages.split(",")]
+              if args.stages else list(STAGE_ORDER)) + ["prod"]
+
+    def call(stage, budget):
+        if stage == "prod":
+            return run_prod(budget)
+        return run_stage(params["whisper"], enc0, stage=stage,
+                         budget=budget)
+
+    for s in stages:
+        for budget in (HI, LO):
+            t0 = time.perf_counter()
+            sync(call(s, budget))
+            print(f"compiled {s}/{budget} ({time.perf_counter()-t0:.1f}s)",
+                  flush=True)
+
+    best = {}
+    for r in range(args.rounds):
+        for s in stages:
+            for budget in (HI, LO):
+                k = (s, budget)
+                best[k] = min(best.get(k, float("inf")),
+                              min_time(lambda: call(s, budget), REPS))
+        print(f"round {r} done", flush=True)
+
+    print(f"\n== per-step totals (B={B}, N={N}, budgets {HI}/{LO}) ==")
+    prev = 0.0
+    for s in stages:
+        hi, lo = best[(s, HI)], best[(s, LO)]
+        ms = (hi - lo) / (HI - LO) * 1e3
+        marg = ms - prev if s != "prod" else float("nan")
+        print(f"{s:8s} {ms:7.3f} ms/step   marginal {marg:+7.3f}   "
+              f"(totals {hi*1e3:.0f} / {lo*1e3:.0f} ms)", flush=True)
+        if s != "prod":
+            prev = ms
+
+    # ------------------------------------------------------------------
+    # micro probes
+    # ------------------------------------------------------------------
+    if args.micro:
+        print("\n== micro probes (scan-chained, differenced) ==")
+
+        def scan_probe(make_body, init, hi=24, lo=8):
+            ts = {}
+            for n in (hi, lo):
+                @functools.partial(jax.jit, static_argnames=("n",))
+                def fn(x, n=n):
+                    def body(c, _):
+                        return make_body(c), None
+                    c, _ = jax.lax.scan(body, x, None, length=n)
+                    return jax.tree.leaves(c)[0].reshape(-1)[:1] \
+                        .astype(jnp.float32)
+                sync(fn(init))
+                ts[n] = min_time(lambda fn=fn: fn(init), REPS + 1)
+            return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
+
+        x_rows = jnp.asarray(
+            rng.standard_normal((n_rows, vocab)).astype(np.float32))
+
+        # the unaligned merge reshape (B*N, V) -> (B, N*V)
+        def reshape_body(c):
+            y = (x_rows + c[0, 0] * 1e-30).reshape(B, N * vocab)
+            m = jnp.max(y, axis=-1)
+            return c + m[:: B // 4, None] * 1e-30  # consume, keep shape
+        ms = scan_probe(reshape_body, jnp.zeros((4, 1), jnp.float32))
+        print(f"reshape (B*N,V)->(B,N*V) + rowmax : {ms:7.3f} ms")
+
+        # the same rowmax without the reshape
+        def nomerge_body(c):
+            y = x_rows + c[0, 0] * 1e-30
+            m = jnp.max(y, axis=-1)
+            return c + m[:4, None] * 1e-30
+        ms = scan_probe(nomerge_body, jnp.zeros((4, 1), jnp.float32))
+        print(f"rowmax over (B*N,V) baseline      : {ms:7.3f} ms")
+
+        # f32 log-softmax over (B*N, V)
+        def lsm_body(c):
+            y = jax.nn.log_softmax(x_rows + c[0, 0] * 1e-30, axis=-1)
+            return c + y[:4, :1] * 1e-30
+        ms = scan_probe(lsm_body, jnp.zeros((4, 1), jnp.float32))
+        print(f"log_softmax (B*N,V) f32           : {ms:7.3f} ms")
+
+        # the 8-buffer self-KV row gather at L = p_len + HI
+        L = p_len + HI
+        bufs = [jnp.asarray(rng.standard_normal(
+            (n_rows, w.num_heads, w.head_dim, L)).astype(np.float32)
+            .astype(jnp.bfloat16)) for _ in range(8)]
+        perm = jnp.asarray(rng.integers(0, n_rows, n_rows), jnp.int32)
+
+        def take_body(c):
+            return [jnp.take(a, perm, axis=0) for a in c]
+        ms = scan_probe(take_body, bufs)
+        nbytes = sum(int(np.prod(a.shape)) * 2 for a in bufs)
+        print(f"8x cache row-gather (L={L})        : {ms:7.3f} ms "
+              f"({nbytes/1e6:.0f} MB logical r+w)")
+
+        # seen-mask gather + scatter
+        seen0 = jnp.zeros((n_rows, vocab), bool)
+        def seen_body(c):
+            y = jnp.take(c, perm, axis=0)
+            return y.at[jnp.arange(n_rows), perm % vocab].set(True)
+        ms = scan_probe(seen_body, seen0)
+        print(f"seen (B*N,V) bool gather+scatter  : {ms:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
