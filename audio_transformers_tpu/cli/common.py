@@ -47,6 +47,11 @@ def build_classifier_batchers(args) -> Tuple:
     elif args.dataset == "local":
         src = UrbanSoundLocalSource(args.data_dir,
                                     limit_samples=args.limit_samples)
+        cache_dir = getattr(args, "waveform_cache", None)
+        if cache_dir:
+            # epochs >= 2 then serve mmap reads instead of re-decoding
+            # (data/cache.py) — one host core covers the device demand
+            src = src.cached(cache_dir)
     else:
         src = SyntheticClassification(
             num_samples=args.limit_samples or 64, seed=args.seed)

@@ -34,6 +34,10 @@ def parse_args(argv=None):
     # background host prefetch (the reference's DataLoader num_workers=4,
     # urban_sounds/dataset.py:98-99); 0 = synchronous
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--waveform_cache", default=None,
+                   help="directory for the decoded-waveform cache "
+                        "(--dataset local): epochs >= 2 skip the "
+                        "decode/resample chain entirely")
     p.add_argument("--spec_augment", action="store_true",
                    help="SpecAugment time/freq masking post-mel")
     p.add_argument("--norm_type", default="batch",

@@ -113,6 +113,25 @@ class UrbanSoundLocalSource:
                                   duration=self.duration)
         return {"waveform": wav, "label": np.int32(label)}
 
+    def path_of(self, i: int) -> str:
+        return os.path.join(self.data_dir, self.rows[int(i)][0])
+
+    def cached(self, cache_dir: str, *, dtype: str = "int16",
+               max_bytes: int = 2 * 1024 ** 3):
+        """Wrap in a decoded-waveform cache (data/cache.py): epochs >= 2
+        serve mmap reads instead of re-decoding identical bytes, which is
+        what the reference's DataLoader workers do every epoch
+        (urban_sounds/dataset.py:98-99). Keys fingerprint each wav's
+        mtime+size, so edited files re-decode."""
+        from audio_transformers_tpu.data.cache import (CachedSource,
+                                                       WaveformCache)
+        cache = WaveformCache(
+            cache_dir,
+            target_len=int(self.sample_rate * self.duration),
+            spec=f"wav->{self.sample_rate}Hz,{self.duration}s,peaknorm",
+            dtype=dtype, max_bytes=max_bytes)
+        return CachedSource(self, cache, path_of=self.path_of)
+
     def prefetch_iter(self, indices, *, num_threads: int = 4):
         """Stream samples for `indices` (in order) from the C++ prefetch
         pool — decode/resample/pad/normalize run in native worker threads,

@@ -112,10 +112,24 @@ def main(argv=None):
     # cumulative stage harness: one jitted fn per (stage, budget)
     # ------------------------------------------------------------------
     STAGE_ORDER = ["step", "logits", "procs", "topk", "reorder", "hyp"]
+    # bisect/fix variants: (cumulative level, reorder implementation)
+    #   tok        gather tokens only
+    #   tok+seen   + seen mask gather
+    #   tok+cache  + self-KV cache gather (jnp.take)
+    #   take       all three via jnp.take (production form)
+    #   mm         cache via one-hot MXU matmul, tokens/seen via take
+    STAGE_IMPL = {
+        "ro_tok": (4, "tok"), "ro_seen": (4, "tok+seen"),
+        "ro_cache": (4, "tok+cache"), "reorder": (4, "take"),
+        "ro_mm": (4, "mm"), "hyp": (5, "take"), "hyp_mm": (5, "mm"),
+    }
 
     @functools.partial(jax.jit, static_argnames=("stage", "budget"))
     def run_stage(params, enc, *, stage: str, budget: int):
-        lvl = STAGE_ORDER.index(stage)
+        lvl, ro_impl = STAGE_IMPL.get(stage,
+                                      (STAGE_ORDER.index(stage)
+                                       if stage in STAGE_ORDER else 0,
+                                       "take"))
         L = p_len + budget
         lp_pen = float(dcfg.length_penalty)
         tokens = jnp.full((n_rows, L), w.pad_token_id, jnp.int32)
@@ -227,10 +241,27 @@ def main(argv=None):
             if lvl >= 4:      # + the per-step parent reorder
                 flat_parent = (b2 * N + parent).reshape(-1)
                 tokens = jnp.take(tokens, flat_parent, axis=0)
-                cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
-                             if isinstance(v, list) else v)
-                         for k, v in cache.items()}
-                seen = jnp.take(seen, flat_parent, axis=0)
+                if ro_impl in ("tok+cache", "take"):
+                    cache = {k: ([jnp.take(a, flat_parent, axis=0)
+                                  for a in v]
+                                 if isinstance(v, list) else v)
+                             for k, v in cache.items()}
+                elif ro_impl == "mm":
+                    onehot = jax.nn.one_hot(flat_parent, n_rows,
+                                            dtype=jnp.bfloat16)
+
+                    def mm_gather(a):
+                        out = jnp.tensordot(
+                            onehot.astype(a.dtype)
+                            if a.dtype == jnp.int8 else onehot,
+                            a, axes=1)
+                        return out.astype(a.dtype)
+
+                    cache = {k: ([mm_gather(a) for a in v]
+                                 if isinstance(v, list) else v)
+                             for k, v in cache.items()}
+                if ro_impl in ("tok+seen", "take", "mm"):
+                    seen = jnp.take(seen, flat_parent, axis=0)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
             seen = seen.at[jnp.arange(n_rows),
@@ -275,8 +306,11 @@ def main(argv=None):
         return wbeam.generate_beam(params["whisper"], w, d2, enc0,
                                    prompt=prompt)["lengths"]
 
-    stages = ([s for s in STAGE_ORDER if s in args.stages.split(",")]
-              if args.stages else list(STAGE_ORDER)) + ["prod"]
+    ALL = (STAGE_ORDER[:4]
+           + ["ro_tok", "ro_seen", "ro_cache", "reorder", "ro_mm",
+              "hyp", "hyp_mm"])
+    stages = ([s for s in ALL if s in args.stages.split(",")]
+              if args.stages else ALL) + ["prod"]
 
     def call(stage, budget):
         if stage == "prod":

@@ -57,6 +57,55 @@ def main(argv=None):
                 best = max(best, n_ok / dt)
             print(f"threads={nt:3d}  {best:8.1f} clips/s", flush=True)
 
+        # decoded-waveform cache (data/cache.py): epoch 1 decodes fresh
+        # and fills the cache; epochs >= 2 are mmap reads on ONE core —
+        # the number that must beat the device demand (~5.7k clips/s,
+        # BENCH_r04 classifier_clips_per_sec)
+        from audio_transformers_tpu.data.cache import (CachedSource,
+                                                       WaveformCache)
+
+        class _WavSource:
+            """Minimal path-list source with native prefetch."""
+
+            num_samples = len(all_paths)
+
+            def __call__(self, i):
+                it = nl.iter_clips([all_paths[int(i)]], target_rate=16000,
+                                   target_len=16000 * 4, num_threads=1)
+                _, clip, _ = next(it)
+                return {"waveform": clip, "label": np.int32(0)}
+
+            def prefetch_iter(self, indices, *, num_threads=4):
+                idx = [int(i) for i in indices]
+                stream = nl.iter_clips([all_paths[i] for i in idx],
+                                       target_rate=16000,
+                                       target_len=16000 * 4,
+                                       num_threads=num_threads)
+                return ({"waveform": clip, "label": np.int32(0)}
+                        for _, clip, _ in stream)
+
+        for dtype in ("int16", "float32"):
+            cache_dir = os.path.join(td, f"wavcache_{dtype}")
+            # index-keyed (path_of=None): all_paths repeats 64 files, and
+            # fingerprint keys would alias the repeats into same-epoch
+            # hits — index keys make the cold pass decode every entry
+            src = CachedSource(
+                _WavSource(),
+                WaveformCache(cache_dir, target_len=16000 * 4,
+                              spec="bench", dtype=dtype))
+            idxs = list(range(len(all_paths)))
+            t0 = time.perf_counter()
+            for s in src.prefetch_iter(idxs, num_threads=1):
+                pass
+            cold = len(idxs) / (time.perf_counter() - t0)
+            best = 0.0
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                n = sum(1 for _ in src.prefetch_iter(idxs, num_threads=1))
+                best = max(best, n / (time.perf_counter() - t0))
+            print(f"cache[{dtype:7s}] cold {cold:8.1f} clips/s   "
+                  f"warm(1 core) {best:8.1f} clips/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
