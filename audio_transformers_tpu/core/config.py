@@ -324,6 +324,14 @@ class DecodeConfig(_ConfigBase):
     # faster in-pipeline (decode.resolve_logits_impl has the measured
     # scope). Token-for-token identical to "xla" (tests/test_decode.py).
     logits_impl: str = "auto"
+    # "auto" | "mm" | "take": how beam search's per-step parent reorder
+    # of the self-KV cache runs (HF _reorder_cache). "mm" expresses the
+    # permutation as a one-hot MXU matmul — exact for every cache dtype,
+    # and 17.1 -> 6.4 ms/step at b128/N=4 vs the jnp.take row gather,
+    # which XLA lowers pathologically inside the decode while_loop
+    # (scripts/beam_stage_ab.py). "auto" = "mm" on TPU, "take" elsewhere.
+    # A CONFIG field for the same jit-cache-key reason as self_kv_min.
+    beam_reorder: str = "auto"
     # Minimum decode-buffer length at which the incrementally-written
     # self-attention KV cache is quantized alongside the cross KV; below
     # it the per-step quantize/dequantize VPU work exceeds the bandwidth

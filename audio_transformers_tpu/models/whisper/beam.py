@@ -64,6 +64,35 @@ _EMPTY = -1.0e30        # empty hypothesis slot (any real score beats it)
 _BUCKET = 128  # one TPU vector lane tile per bucket
 
 
+def resolve_beam_reorder(impl: str) -> str:
+    """"auto" -> the one-hot MXU matmul on TPU, jnp.take elsewhere.
+
+    The per-step parent reorder of the self-KV cache is HF's
+    `_reorder_cache`. As a row gather (jnp.take) inside the decode
+    while_loop it measures +12.1 ms/step at b128/N=4 — 25x the copy's
+    bandwidth floor and 70% of the entire beam step — while the SAME
+    gather in an isolated scan is ~free (scripts/beam_stage_ab.py: XLA
+    lowers the in-loop gather-on-carry pathologically). Expressing the
+    permutation as a one-hot matrix multiply runs it on the MXU instead:
+    out[r] = sum_s onehot[r, s] * a[s] touches exactly one operand row
+    per output row, so it is EXACT for every cache dtype (bf16 carries
+    f32 accumulation; int8 values |v|<=127 are exact in bf16), and the
+    beam step drops 17.1 -> 6.4 ms/step (same harness, same process,
+    production shape). "take" keeps the gather form for A/B."""
+    if impl == "auto":
+        return "mm" if jax.default_backend() == "tpu" else "take"
+    if impl not in ("mm", "take"):
+        raise ValueError(f"unknown beam_reorder {impl!r}")
+    return impl
+
+
+def _permute_rows_mxu(a: jax.Array, onehot: jax.Array) -> jax.Array:
+    """Row permutation as a one-hot matmul (see resolve_beam_reorder).
+    `onehot` is (rows, rows) bf16; promotion keeps f32 operands in f32,
+    and int8/bool round-trip exactly through bf16 (integer values)."""
+    return jnp.tensordot(onehot, a, axes=1).astype(a.dtype)
+
+
 def _masked_argmax_top_k(x: jax.Array, k: int):
     """Exact top-k over the last axis with lax.top_k's stable
     first-occurrence tie order — as k sequential masked argmaxes.
@@ -209,6 +238,7 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     hyp_lens = jnp.zeros((batch, n_beams), jnp.int32)
     done = jnp.zeros((batch,), bool)
 
+    reorder_mm = resolve_beam_reorder(dcfg.beam_reorder) == "mm"
     track_seen = dcfg.repetition_penalty != 1.0
     if track_seen:
         seen = jnp.zeros((n_rows, vocab), bool).at[
@@ -259,11 +289,12 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         # HF beam mode: log-softmax FIRST, processors on the log-probs
         logp = jax.nn.log_softmax(logits, axis=-1)
         row_done = jnp.repeat(done, n_beams)
-        # ngram_impl="mask": in beam mode the ngram f32 scatter combined
-        # with the penalty where-fusion is an XLA pathology (+9.4
-        # ms/step at b128/N=4 where each rule alone is ~free); the bool
-        # mask + where composition fuses — 17.3 -> 9.0 ms/step,
-        # token-equal (scripts/beam_procfix_ab.py)
+        # ngram_impl="mask": the bool-mask + where composition measures
+        # EQUAL to the f32 scatter here (16.85 vs 16.89 ms/step,
+        # interleaved on chip — the r4 claim that it fixed a +9.4
+        # combination pathology did not reproduce); kept because it
+        # composes the finished-row masking without a scatter. The beam
+        # step's real cost was the cache reorder (resolve_beam_reorder).
         logp = _process_logits(logp, tokens, pos, cfg, dcfg, p_len,
                                suppress_ids, begin_suppress_ids,
                                seen=seen if track_seen else None,
@@ -323,16 +354,29 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
         nxt_scores = jnp.where(freeze, scores, nxt_scores)
 
         # reorder every per-beam buffer by the chosen parents (HF
-        # _reorder_cache), then append this step's tokens
+        # _reorder_cache), then append this step's tokens. The cache
+        # buffers go through the one-hot MXU matmul, NOT jnp.take: the
+        # in-loop gather-on-carry is the beam step's dominant pathology
+        # (+12.1 of 16.9 ms/step at b128/N=4 — resolve_beam_reorder).
         flat_parent = (b2 * n_beams + parent).reshape(-1)
         tokens = jnp.take(tokens, flat_parent, axis=0)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
-        cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
-                     if isinstance(v, list) else v)
-                 for k, v in cache.items()}
+        if reorder_mm:
+            onehot = jax.nn.one_hot(flat_parent, n_rows, dtype=jnp.bfloat16)
+            cache = {k: ([_permute_rows_mxu(a, onehot) for a in v]
+                         if isinstance(v, list) else v)
+                     for k, v in cache.items()}
+        else:
+            cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
+                         if isinstance(v, list) else v)
+                     for k, v in cache.items()}
         if track_seen:
-            seen = jnp.take(seen, flat_parent, axis=0)
+            # the (B*N, V) bool mask rides the MXU too when available
+            # (6.42 -> 6.20 ms/step at b128/N=4, scripts/beam_stage_ab.py
+            # hyp_mm vs hyp_mmS; bool round-trips bf16 exactly)
+            seen = (_permute_rows_mxu(seen, onehot) if reorder_mm
+                    else jnp.take(seen, flat_parent, axis=0))
             seen = seen.at[jnp.arange(n_rows),
                            nxt_tok.reshape(-1)].set(True)
         return (tokens, nxt_scores, cache, hyp_tokens, hyp_scores,

@@ -237,14 +237,14 @@ def _process_logits(logits, tokens, pos, cfg: WhisperConfig,
             tokens.shape[1] >= dcfg.no_repeat_ngram_size:
         n = dcfg.no_repeat_ngram_size
         if ngram_impl == "mask":
-            # beam mode: the f32 scatter COMBINED with the repetition-
-            # penalty where-fusion over the log-softmaxed (B*N, V)
-            # buffer is an XLA pathology — pen alone -0.08 ms/step,
-            # ngram alone +0.12, together +9.4 at b128/N=4 on v5e. The
-            # bool-mask build + where is elementwise after the penalty
-            # pass and fuses: 17.3 -> 9.0 ms/step, token-equal
-            # (scripts/beam_procfix_ab.py; parity
-            # tests/test_beam.py::test_matches_hf_with_processors)
+            # beam mode: the bool-mask + where form. Measured EQUAL to
+            # the scatter form in-pipeline (16.85 vs 16.89 ms/step at
+            # b128/N=4, interleaved on chip — the r4 claim of a +9.4
+            # scatter+penalty pathology did not reproduce; the real
+            # beam cost was the cache reorder, beam.py). Kept: it
+            # composes the finished-row masking without a scatter and
+            # is token-equal (tests/test_beam.py::
+            # test_matches_hf_with_processors).
             flag, cont, _ = _ngram_window_flags(tokens, pos, n, finished)
             banned = jnp.zeros((b, vocab), bool).at[
                 b_idx, cont].max(flag)

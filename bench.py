@@ -202,6 +202,24 @@ def main():
         "batch": batch,
         "backend": jax.default_backend(),
     }
+    # Contention markers (VERDICT r4 #3): host fields (loader numbers are
+    # host-load-sensitive on this 1-core box — a contended run measured
+    # 914 clips/s where the quiet host measures ~1,800) and a trivial-jit
+    # tunnel round-trip (decode fields inflate when the tunnel is
+    # congested; a quiet tunnel probes ~25-40 ms). Read them before
+    # trusting a regression: host_load ~> 1.5 or tunnel_probe_ms >> 50
+    # means the RUN was degraded, not the code.
+    try:
+        result["host_load"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        probe = jax.jit(lambda x: x + 1.0)
+        _sync_scalar(probe(jnp.ones((1,), jnp.float32)))  # compile
+        result["tunnel_probe_ms"] = round(_min_time(
+            lambda: probe(jnp.ones((1,), jnp.float32)), 3) * 1e3, 1)
+    except Exception:
+        pass
     if not backend_probed:
         result["errors"] = [
             "tpu backend unavailable after retry budget; "
@@ -303,15 +321,60 @@ def main():
 
     # --- beam-search decode cost (num_beams=4, the production serving
     # alternative to greedy; same processor stack as the greedy decode
-    # number so beam4/greedy is a clean ratio). PARITY.md's cost claim
-    # is backed by this field.
-    def decode_ms_per_step_beam4() -> float:
+    # number). beam4 and greedy run ROUND-ROBIN IN THIS ONE PROCESS and
+    # the ratio is computed from those interleaved mins, so tunnel
+    # congestion can never fake (or hide) a multiple — VERDICT r4 #2.
+    # PARITY.md's beam cost claim is backed by beam4_over_greedy.
+    def beam_greedy_fields() -> dict:
+        from audio_transformers_tpu.models.whisper import beam as wbeam
+        mel = log_mel(waveform, mel_cfg).astype(compute)
+        enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
+
+        def call(kind: str, n_tokens: int):
+            d2 = dcfg.replace(max_new_tokens=n_tokens,
+                              num_beams=4 if kind == "beam" else 1)
+            fn = (wbeam.generate_beam if kind == "beam"
+                  else wdecode.generate)
+            return fn(params["whisper"], w, d2, enc,
+                      prompt=prompt)["lengths"]
+
+        kinds = ("beam", "greedy")
+        for kind in kinds:            # compile + warm
+            for n in (64, 16):
+                _sync_scalar(call(kind, n))
+        best = {}
+        for _ in range(4 if on_tpu else 1):
+            for kind in kinds:
+                for n in (64, 16):
+                    best[(kind, n)] = min(
+                        best.get((kind, n), float("inf")),
+                        _min_time(lambda: call(kind, n), 1))
+        ms = {kind: (best[(kind, 64)] - best[(kind, 16)]) / 48 * 1e3
+              for kind in kinds}
+        return {
+            "decode_ms_per_step_b128_beam4": round(ms["beam"], 3),
+            "decode_ms_per_step_b128_greedy_rr": round(ms["greedy"], 3),
+            "beam4_over_greedy": round(ms["beam"] / ms["greedy"], 2),
+        }
+
+    if on_tpu:
+        try:
+            result.update(beam_greedy_fields())
+        except Exception as e:  # pragma: no cover - env-dependent
+            result.setdefault("errors", []).append(
+                f"beam_greedy: {type(e).__name__}")
+
+    # beam-4 at the SERVING config (int8 KV, like the headline decode
+    # field — the bf16 field above exists for the clean ratio against
+    # bf16 greedy)
+    def decode_ms_per_step_beam4_int8() -> float:
         from audio_transformers_tpu.models.whisper import beam as wbeam
         mel = log_mel(waveform, mel_cfg).astype(compute)
         enc = wm.encode_jit(params["whisper"], w, mel, attn_impl="auto")
 
         def timed(n_tokens: int) -> float:
-            d2 = dcfg.replace(max_new_tokens=n_tokens, num_beams=4)
+            d2 = dcfg.replace(max_new_tokens=n_tokens, num_beams=4,
+                              kv_quant="int8")
             o = wbeam.generate_beam(params["whisper"], w, d2, enc,
                                     prompt=prompt)
             _sync_scalar(o["lengths"])
@@ -323,8 +386,8 @@ def main():
         return (timed(64) - timed(16)) / 48 * 1e3
 
     if on_tpu:
-        extra("decode_ms_per_step_b128_beam4",
-              lambda: round(decode_ms_per_step_beam4(), 3))
+        extra("decode_ms_per_step_b128_beam4_int8",
+              lambda: round(decode_ms_per_step_beam4_int8(), 3))
 
     # --- interactive serving latency (batch 1, the reference demo's
     # shape): full pipeline for ONE 30 s clip, chained+differenced like

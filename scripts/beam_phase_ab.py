@@ -19,6 +19,14 @@ args + a monkeypatched body silently reuse the first-compiled program).
 
 Marginal ms/step from two chain lengths per variant, min per length
 over rounds, then differenced (cancels dispatch + final pass).
+
+SUPERSEDED (r5): this ladder only toggled processors/selection and left
+the per-step cache reorder in EVERY rung, so the reorder's +12.1
+ms/step — 70% of the old 16.9 ms beam step, fixed by the one-hot MXU
+matmul (DecodeConfig.beam_reorder) — was invisible to it, and its r4
+"+9.4 penalty+ngram combination pathology" reading did not reproduce
+under the full stage decomposition. Use scripts/beam_stage_ab.py, which
+rebuilds the loop stage by stage and measured every stage to a floor.
 """
 
 from __future__ import annotations

@@ -122,7 +122,51 @@ def main(argv=None):
         "ro_tok": (4, "tok"), "ro_seen": (4, "tok+seen"),
         "ro_cache": (4, "tok+cache"), "reorder": (4, "take"),
         "ro_mm": (4, "mm"), "hyp": (5, "take"), "hyp_mm": (5, "mm"),
+        # further fix candidates on top of the cache mm:
+        #   mmS   seen mask also reordered via one-hot matmul
+        #   mmST  + the top-k bucket gather as a one-hot matmul too
+        "hyp_mmS": (5, "mmS"), "hyp_mmST": (5, "mmST"),
+        #   mmT2  mmS + hierarchical per-beam top-k: stable top-2N per
+        #         (B*N, V) row (lane-aligned, no merged (B, N*V) buffer,
+        #         no logp+scores materialization — a per-row constant
+        #         cannot change within-row order, so scores add to the
+        #         2N selected values instead of 106 MB of candidates),
+        #         then an exact tiny merge of N*2N per batch row
+        #         (beam-major concat keeps lax.top_k's flattened-order
+        #         tie stability)
+        "hyp_mmT2": (5, "mmT2"),
     }
+
+    def _per_beam_top_k(logp, scores, k):
+        n_rows_, vocab_ = logp.shape
+        nb_ = n_rows_ // N
+        vals, idxs = wbeam._stable_top_k(logp, k)         # per-beam rows
+        vals = vals + scores.reshape(n_rows_, 1)
+        gidx = idxs + (jnp.arange(n_rows_) % N)[:, None] * vocab_
+        vals = vals.reshape(nb_, N * k)
+        gidx = gidx.reshape(nb_, N * k)
+        v2, ci = wbeam._masked_argmax_top_k(vals, k)
+        return v2, jnp.take_along_axis(gidx, ci, axis=1)
+
+    def _stable_top_k_mm(x, k):
+        """_stable_top_k with the chosen-bucket gather expressed as a
+        one-hot matmul (exact: one nonzero per output row)."""
+        b, n = x.shape
+        BUCKET = wbeam._BUCKET
+        nb = -(-n // BUCKET)
+        pad = nb * BUCKET - n
+        xp = jnp.pad(x, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf) if pad else x
+        xb = xp.reshape(b, nb, BUCKET)
+        bmax = jnp.max(xb, axis=-1)
+        _, bidx = wbeam._masked_argmax_top_k(bmax, k)
+        bsel = jnp.sort(bidx, axis=1)
+        oh = jax.nn.one_hot(bsel, nb, dtype=x.dtype)      # (b, k, nb)
+        cand = jnp.einsum("bkn,bnl->bkl", oh, xb).reshape(b, k * BUCKET)
+        vals, ci = wbeam._masked_argmax_top_k(cand, k)
+        gi = (jnp.take_along_axis(bsel, ci // BUCKET, axis=1) * BUCKET
+              + ci % BUCKET)
+        return vals, gi.astype(jnp.int32)
 
     @functools.partial(jax.jit, static_argnames=("stage", "budget"))
     def run_stage(params, enc, *, stage: str, budget: int):
@@ -200,8 +244,14 @@ def main(argv=None):
                         hyp_lens, done, seen, acc)
 
             # lvl >= 3: candidate buffer + stable top-2N + slot selection
-            cand = (logp + scores.reshape(n_rows, 1)).reshape(B, N * vocab)
-            top_s, top_i = wbeam._stable_top_k(cand, 2 * N)
+            if ro_impl == "mmT2":
+                top_s, top_i = _per_beam_top_k(logp, scores, 2 * N)
+            else:
+                cand = (logp + scores.reshape(n_rows, 1)).reshape(
+                    B, N * vocab)
+                topk_fn = (_stable_top_k_mm if ro_impl == "mmST"
+                           else wbeam._stable_top_k)
+                top_s, top_i = topk_fn(cand, 2 * N)
             cand_beam = (top_i // vocab).astype(jnp.int32)
             cand_tok = (top_i % vocab).astype(jnp.int32)
             is_eos = cand_tok == w.eos_token_id
@@ -246,7 +296,7 @@ def main(argv=None):
                                   for a in v]
                                  if isinstance(v, list) else v)
                              for k, v in cache.items()}
-                elif ro_impl == "mm":
+                elif ro_impl in ("mm", "mmS", "mmST", "mmT2"):
                     onehot = jax.nn.one_hot(flat_parent, n_rows,
                                             dtype=jnp.bfloat16)
 
@@ -260,7 +310,9 @@ def main(argv=None):
                     cache = {k: ([mm_gather(a) for a in v]
                                  if isinstance(v, list) else v)
                              for k, v in cache.items()}
-                if ro_impl in ("tok+seen", "take", "mm"):
+                if ro_impl in ("mmS", "mmST", "mmT2"):
+                    seen = mm_gather(seen)
+                elif ro_impl in ("tok+seen", "take", "mm"):
                     seen = jnp.take(seen, flat_parent, axis=0)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
@@ -308,7 +360,7 @@ def main(argv=None):
 
     ALL = (STAGE_ORDER[:4]
            + ["ro_tok", "ro_seen", "ro_cache", "reorder", "ro_mm",
-              "hyp", "hyp_mm"])
+              "hyp", "hyp_mm", "hyp_mmS", "hyp_mmST", "hyp_mmT2"])
     stages = ([s for s in ALL if s in args.stages.split(",")]
               if args.stages else ALL) + ["prod"]
 
