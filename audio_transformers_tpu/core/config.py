@@ -332,6 +332,18 @@ class DecodeConfig(_ConfigBase):
     # (scripts/beam_stage_ab.py). "auto" = "mm" on TPU, "take" elsewhere.
     # A CONFIG field for the same jit-cache-key reason as self_kv_min.
     beam_reorder: str = "auto"
+    # "auto" | "merged" | "perbeam": how beam search selects its 2N
+    # step candidates. "merged" materializes HF's (B, N*V) logp+score
+    # candidate buffer and top-k's it; "perbeam" top-k's each (B*N, V)
+    # row FIRST (a per-row constant cannot change within-row order),
+    # adds the beam scores to the 2N survivors, and merges N*2N tiny
+    # candidates per batch row — skipping the 106 MB merged f32 buffer
+    # and its unaligned (N*V % 128 != 0) relayout. 6.24 -> 5.94 ms/step
+    # at b128/N=4 on chip (scripts/beam_stage_ab.py hyp_mmS vs
+    # hyp_mmT2). "auto" = "perbeam" on TPU, "merged" elsewhere. Same
+    # jit-cache-key rationale as self_kv_min. Tie caveat in
+    # beam.resolve_beam_topk.
+    beam_topk: str = "auto"
     # Minimum decode-buffer length at which the incrementally-written
     # self-attention KV cache is quantized alongside the cross KV; below
     # it the per-step quantize/dequantize VPU work exceeds the bandwidth

@@ -126,6 +126,13 @@ def main(argv=None):
         #   mmS   seen mask also reordered via one-hot matmul
         #   mmST  + the top-k bucket gather as a one-hot matmul too
         "hyp_mmS": (5, "mmS"), "hyp_mmST": (5, "mmST"),
+        #   mmB   mmS with the one-hot collapsed to its block-diagonal:
+        #         parents never cross batch rows, so the (B*N, B*N)
+        #         matmul is really B independent (N, N) mixes — einsum
+        #         "bnm,bmf->bnf" does 1/B the MXU FLOPs for the same
+        #         bytes (the copy is HBM-bound either way; this tests
+        #         whether the 512x512 form pays a compute tax)
+        "hyp_mmB": (5, "mmB"),
         #   mmT2  mmS + hierarchical per-beam top-k: stable top-2N per
         #         (B*N, V) row (lane-aligned, no merged (B, N*V) buffer,
         #         no logp+scores materialization — a per-row constant
@@ -135,6 +142,8 @@ def main(argv=None):
         #         (beam-major concat keeps lax.top_k's flattened-order
         #         tie stability)
         "hyp_mmT2": (5, "mmT2"),
+        #   mmT2B the combined candidate: per-beam top-k + block-diag mm
+        "hyp_mmT2B": (5, "mmT2B"),
     }
 
     def _per_beam_top_k(logp, scores, k):
@@ -244,7 +253,7 @@ def main(argv=None):
                         hyp_lens, done, seen, acc)
 
             # lvl >= 3: candidate buffer + stable top-2N + slot selection
-            if ro_impl == "mmT2":
+            if ro_impl in ("mmT2", "mmT2B"):
                 top_s, top_i = _per_beam_top_k(logp, scores, 2 * N)
             else:
                 cand = (logp + scores.reshape(n_rows, 1)).reshape(
@@ -310,7 +319,20 @@ def main(argv=None):
                     cache = {k: ([mm_gather(a) for a in v]
                                  if isinstance(v, list) else v)
                              for k, v in cache.items()}
-                if ro_impl in ("mmS", "mmST", "mmT2"):
+                elif ro_impl in ("mmB", "mmT2B"):
+                    oh_b = jax.nn.one_hot(parent, N, dtype=jnp.bfloat16)
+
+                    def mm_gather(a):
+                        oh = (oh_b.astype(a.dtype)
+                              if a.dtype == jnp.int8 else oh_b)
+                        f = a.reshape(B, N, -1)
+                        out = jnp.einsum("bnm,bmf->bnf", oh, f)
+                        return out.reshape(a.shape).astype(a.dtype)
+
+                    cache = {k: ([mm_gather(a) for a in v]
+                                 if isinstance(v, list) else v)
+                             for k, v in cache.items()}
+                if ro_impl in ("mmS", "mmST", "mmT2", "mmB", "mmT2B"):
                     seen = mm_gather(seen)
                 elif ro_impl in ("tok+seen", "take", "mm"):
                     seen = jnp.take(seen, flat_parent, axis=0)
@@ -360,7 +382,8 @@ def main(argv=None):
 
     ALL = (STAGE_ORDER[:4]
            + ["ro_tok", "ro_seen", "ro_cache", "reorder", "ro_mm",
-              "hyp", "hyp_mm", "hyp_mmS", "hyp_mmST", "hyp_mmT2"])
+              "hyp", "hyp_mm", "hyp_mmS", "hyp_mmST", "hyp_mmB",
+              "hyp_mmT2", "hyp_mmT2B"])
     stages = ([s for s in ALL if s in args.stages.split(",")]
               if args.stages else ALL) + ["prod"]
 

@@ -395,3 +395,94 @@ class TestBeamReorderMM:
         assert wbeam.resolve_beam_reorder("auto") in ("mm", "take")
         with pytest.raises(ValueError):
             wbeam.resolve_beam_reorder("bogus")
+
+
+class TestBeamTopK:
+    """DecodeConfig.beam_topk="perbeam" (the TPU default) must pick the
+    same 2N candidates as HF's merged (B, N*V) logp+score buffer — the
+    hierarchical form top-k's each beam row before adding its score (a
+    per-row constant preserves within-row order) and exactly merges the
+    N*2N finalists in beam-major (= merged flattened) order. Backs the
+    6.24 -> 5.94 ms/step win at b128/N=4 (scripts/beam_stage_ab.py
+    hyp_mmS vs hyp_mmT2); the only permitted deviation is the
+    rounding-created-tie order documented in resolve_beam_topk."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_merged_buffer_random(self, seed):
+        rng = np.random.default_rng(seed)
+        batch, n_beams, vocab, k = 5, 3, 997, 6
+        logp = jax.nn.log_softmax(jnp.asarray(
+            rng.standard_normal((batch * n_beams, vocab)), jnp.float32))
+        scores = jnp.asarray(
+            rng.standard_normal((batch, n_beams)), jnp.float32)
+        cand = (logp + scores.reshape(-1, 1)).reshape(
+            batch, n_beams * vocab)
+        want_v, want_i = wbeam._stable_top_k(cand, k)
+        got_v, got_i = wbeam._per_beam_top_k(logp, scores, k, n_beams)
+        np.testing.assert_array_equal(np.asarray(got_i),
+                                      np.asarray(want_i))
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=0, atol=0)
+
+    def test_matches_merged_buffer_ties(self):
+        """Exact duplicated values within and across beams keep the
+        merged buffer's first-occurrence order (equal logp ties stay
+        vocab-ordered inside a beam; cross-beam ties resolve to the
+        lower beam index)."""
+        batch, n_beams, vocab, k = 2, 3, 300, 6
+        logp = np.full((batch * n_beams, vocab), -20.0, np.float32)
+        logp[:, 7] = -1.0       # every beam ties at the same token...
+        logp[:, 250] = -1.0     # ...twice per row
+        logp[1::n_beams, 13] = -0.5
+        scores = np.zeros((batch, n_beams), np.float32)  # equal scores
+        cand = jnp.asarray(logp + scores.reshape(-1, 1)).reshape(
+            batch, n_beams * vocab)
+        want_v, want_i = wbeam._stable_top_k(cand, k)
+        got_v, got_i = wbeam._per_beam_top_k(
+            jnp.asarray(logp), jnp.asarray(scores), k, n_beams)
+        np.testing.assert_array_equal(np.asarray(got_i),
+                                      np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_v),
+                                      np.asarray(want_v))
+
+    def test_perbeam_equals_merged_decode(self, hf_pair):
+        _, cfg, params = hf_pair
+        mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=37)
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        base = DecodeConfig(max_new_tokens=14, num_beams=3,
+                            repetition_penalty=1.15,
+                            no_repeat_ngram_size=3)
+        prompt = (cfg.decoder_start_token_id,)
+        outs = {}
+        for impl in ("merged", "perbeam"):
+            outs[impl] = wbeam.generate_beam(
+                params, cfg, base.replace(beam_topk=impl), enc,
+                prompt=prompt, begin_suppress_ids=())
+        np.testing.assert_array_equal(
+            np.asarray(outs["perbeam"]["tokens"]),
+            np.asarray(outs["merged"]["tokens"]))
+        np.testing.assert_array_equal(
+            np.asarray(outs["perbeam"]["lengths"]),
+            np.asarray(outs["merged"]["lengths"]))
+        np.testing.assert_allclose(
+            np.asarray(outs["perbeam"]["beam_scores"]),
+            np.asarray(outs["merged"]["beam_scores"]), rtol=0, atol=0)
+
+    def test_perbeam_matches_hf(self, hf_pair):
+        tm, cfg, params = hf_pair
+        mel = _mel(2, 2 * cfg.max_source_positions, cfg.n_mels, seed=41)
+        prompt = (cfg.decoder_start_token_id,)
+        want = _hf_beam(tm, mel, prompt, 14, 3)
+        dcfg = DecodeConfig(max_new_tokens=14, num_beams=3,
+                            beam_topk="perbeam")
+        enc = wm.encode(params, cfg, jnp.asarray(mel))
+        out = wbeam.generate_beam(params, cfg, dcfg, enc, prompt=prompt,
+                                  begin_suppress_ids=())
+        _compare(out, want, len(prompt))
+
+    def test_resolve(self):
+        assert wbeam.resolve_beam_topk("merged") == "merged"
+        assert wbeam.resolve_beam_topk("perbeam") == "perbeam"
+        assert wbeam.resolve_beam_topk("auto") in ("merged", "perbeam")
+        with pytest.raises(ValueError):
+            wbeam.resolve_beam_topk("bogus")

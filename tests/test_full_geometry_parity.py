@@ -219,6 +219,13 @@ def test_beam_parity_real_geometry(tiny_pair):
             logits_processor=procs).numpy()
 
     enc = wm.encode(params, cfg, jnp.asarray(mel))
-    out = wbeam.generate_beam(params, cfg, dcfg, enc, prompt=prompt,
-                              suppress_ids=supp)
-    _compare(out, want, len(prompt))
+    # both candidate-selection forms at real vocab: "merged" is HF's
+    # (B, N*V) buffer, "perbeam" the TPU-default hierarchical top-k
+    # (beam.resolve_beam_topk) — the bucketized per-row path only
+    # triggers at real vocab width, so cover it here, not just in the
+    # toy-geometry tests
+    for topk in ("merged", "perbeam"):
+        out = wbeam.generate_beam(params, cfg,
+                                  dcfg.replace(beam_topk=topk), enc,
+                                  prompt=prompt, suppress_ids=supp)
+        _compare(out, want, len(prompt))
