@@ -67,6 +67,7 @@ def main(argv=None):
     from audio_transformers_tpu.models.whisper import beam as wbeam
     from audio_transformers_tpu.models.whisper import decode as wdecode
     from audio_transformers_tpu.models.whisper import emotion as emo
+    from audio_transformers_tpu.ops.logit_processors import NEG_INF
     from audio_transformers_tpu.ops.mel import log_mel
 
     on_tpu = jax.default_backend() == "tpu"
@@ -144,7 +145,77 @@ def main(argv=None):
         "hyp_mmT2": (5, "mmT2"),
         #   mmT2B the combined candidate: per-beam top-k + block-diag mm
         "hyp_mmT2B": (5, "mmT2B"),
+        #   mmT2dv mmT2 with the projection as hidden @ table_t where
+        #         table_t is the TRANSPOSED vocab-padded (D, v_pad)
+        #         table (the production form the fused-selection
+        #         experiment switched to) — isolates the einsum/layout
+        #         change from the selection change
+        "hyp_mmT2dv": (5, "mmT2dv"),
+        #   mmF   mmT2dv + _select_candidates_fused (local, REJECTED):
+        #         processed logp never materialized — procs replayed
+        #         inside the bucket-max pass and on the gathered
+        #         windows; measured +0.5 ms/step vs mmT2 on chip
+        "hyp_mmF": (5, "mmF"),
     }
+
+    def _select_candidates_fused(logits_pad, mask_row, seen_, banned,
+                                 penalty, scores, k):
+        """REJECTED experiment (kept here as its reproducer): per-beam
+        selection with the processed log-prob buffer recomputed inside
+        each consumer instead of materialized — max/logsumexp passes
+        over the raw logits, one fused procs->bucket-max pass, then the
+        identical elementwise chain replayed on the gathered top-k
+        bucket windows. Token-equal to the mmT2 form, but it MEASURES
+        +0.5 ms/step on chip (mmT2 5.95 / mmT2dv 6.00 / mmF 6.50,
+        b128/N=4): XLA already fuses log-softmax + processors into the
+        bucket-max consumer, so the hand fusion only adds the window
+        re-processing and an extra raw-logits traversal."""
+        n_rows_, v_pad_ = logits_pad.shape
+        BUCKET = wbeam._BUCKET
+        real = logits_pad[:, :vocab]
+        m = jnp.max(real, axis=1, keepdims=True)
+        ls = jnp.log(jnp.sum(jnp.exp(real - m), axis=1, keepdims=True))
+        pad_col = (jnp.arange(v_pad_) >= vocab)[None, :]
+
+        def proc(x, msk, sn, bn, padc):
+            mm_ = m.reshape(m.shape[0], *([1] * (x.ndim - 1)))
+            ls_ = ls.reshape(ls.shape[0], *([1] * (x.ndim - 1)))
+            y = (x - mm_) - ls_
+            y = jnp.where(msk, NEG_INF, y)
+            if sn is not None:
+                y = jnp.where(sn & (y > 0), y / penalty,
+                              jnp.where(sn, y * penalty, y))
+            if bn is not None:
+                y = jnp.where(bn, NEG_INF, y)
+            return jnp.where(padc, -jnp.inf, y)
+
+        nb = v_pad_ // BUCKET
+        y_b = proc(logits_pad, mask_row, seen_, banned, pad_col)
+        bmax = jnp.max(y_b.reshape(n_rows_, nb, BUCKET), axis=-1)
+        _, bidx = wbeam._masked_argmax_top_k(bmax, k)
+        bsel = jnp.sort(bidx, axis=1)
+
+        def win(a):
+            return jnp.take_along_axis(
+                a.reshape(n_rows_, nb, BUCKET), bsel[:, :, None], axis=1)
+
+        def win_row(v):
+            return jnp.take(jnp.broadcast_to(v, (1, v_pad_))
+                            .reshape(nb, BUCKET), bsel, axis=0)
+
+        wy = proc(win(logits_pad), win_row(mask_row),
+                  None if seen_ is None else win(seen_),
+                  None if banned is None else win(banned),
+                  win_row(pad_col)).reshape(n_rows_, k * BUCKET)
+        vals, ci = wbeam._masked_argmax_top_k(wy, k)
+        idxs = (jnp.take_along_axis(bsel, ci // BUCKET, axis=1)
+                * BUCKET + ci % BUCKET).astype(jnp.int32)
+        vals = vals + scores.reshape(n_rows_, 1)
+        gidx = idxs + (jnp.arange(n_rows_) % N)[:, None] * vocab
+        vals = vals.reshape(n_rows_ // N, N * k)
+        gidx = gidx.reshape(n_rows_ // N, N * k)
+        top_s, ci2 = wbeam._masked_argmax_top_k(vals, k)
+        return top_s, jnp.take_along_axis(gidx, ci2, axis=1)
 
     def _per_beam_top_k(logp, scores, k):
         n_rows_, vocab_ = logp.shape
@@ -192,7 +263,22 @@ def main(argv=None):
         cache = wm.init_cache(w, n_rows, max_len=L, dtype=enc.dtype)
         cross = wm.precompute_cross_attention(params, w, enc)
         step_params = wm.prepare_decode_params(params, w, dtype=enc.dtype)
-        seen = jnp.zeros((n_rows, vocab), bool).at[
+        sup = ()
+        bsup = ((wdecode._SPACE_TOKEN, w.eos_token_id)
+                if dcfg.suppress_blank else ())
+        v_pad = -(-vocab // wbeam._BUCKET) * wbeam._BUCKET
+        table_t = jnp.pad(
+            jnp.transpose(step_params["embed"]["table"].astype(enc.dtype)),
+            ((0, 0), (0, v_pad - vocab)))
+        sup_vec = jnp.zeros((v_pad,), bool)
+        if len(sup):
+            sup_vec = sup_vec.at[jnp.asarray(list(sup), jnp.int32)].set(True)
+        begin_vec = jnp.zeros((v_pad,), bool)
+        if len(bsup):
+            begin_vec = begin_vec.at[
+                jnp.asarray(list(bsup), jnp.int32)].set(True)
+        seen_w = v_pad if ro_impl == "mmF" else vocab
+        seen = jnp.zeros((n_rows, seen_w), bool).at[
             jnp.arange(n_rows), tokens[:, 0]].set(True)
         hyp_tokens = jnp.full((B, N, L), w.pad_token_id, jnp.int32)
         hyp_scores = jnp.full((B, N), wbeam._EMPTY, jnp.float32)
@@ -202,10 +288,6 @@ def main(argv=None):
         b2 = b1[:, None]
         beam_iota = jnp.arange(N)[None, :]
         acc0 = jnp.float32(0.0)
-
-        sup = ()
-        bsup = ((wdecode._SPACE_TOKEN, w.eos_token_id)
-                if dcfg.suppress_blank else ())
 
         def body(state):
             (tokens, scores, cache, hyp_tokens, hyp_scores, hyp_lens,
@@ -229,15 +311,37 @@ def main(argv=None):
                 return (tokens, scores, cache, hyp_tokens, hyp_scores,
                         hyp_lens, done, seen, acc)
 
-            table = step_params["embed"]["table"].astype(hidden.dtype)
-            logits = jnp.einsum("bd,vd->bv", hidden, table,
-                                preferred_element_type=jnp.float32)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            # keep the normalizer alive regardless of the consumer below
-            acc += jnp.sum(jax.lax.dynamic_slice(
-                logp, (0, 0), (n_rows, 1))) * 1e-30
+            if ro_impl in ("mmT2dv", "mmF"):
+                logits = jnp.einsum("bd,dv->bv", hidden, table_t,
+                                    preferred_element_type=jnp.float32)
+            else:
+                table = step_params["embed"]["table"].astype(hidden.dtype)
+                logits = jnp.einsum("bd,vd->bv", hidden, table,
+                                    preferred_element_type=jnp.float32)
 
-            if lvl >= 2:      # + processors (production composition)
+            if ro_impl == "mmF":
+                # the fused-selection experiment: replicate production's
+                # topk_fused branch exactly
+                row_done = jnp.repeat(done, N)
+                msk = (sup_vec[None, :]
+                       | ((pos == p_len) & begin_vec[None, :]))
+                flag, fcont, _ = wdecode._ngram_window_flags(
+                    tokens, pos, dcfg.no_repeat_ngram_size, row_done)
+                banned = jnp.zeros((n_rows, v_pad), bool).at[
+                    jnp.arange(n_rows)[:, None], fcont].max(flag)
+                top_s, top_i = _select_candidates_fused(
+                    logits, msk, seen, banned,
+                    float(dcfg.repetition_penalty), scores, 2 * N)
+                acc += jnp.sum(top_s[:, :1]) * 1e-30
+            else:
+                logp = jax.nn.log_softmax(
+                    logits[:, :vocab] if ro_impl == "mmT2dv" else logits,
+                    axis=-1)
+                # keep the normalizer alive whatever the consumer below
+                acc += jnp.sum(jax.lax.dynamic_slice(
+                    logp, (0, 0), (n_rows, 1))) * 1e-30
+
+            if lvl >= 2 and ro_impl != "mmF":   # + processors
                 row_done = jnp.repeat(done, N)
                 logp = wdecode._process_logits(
                     logp, tokens, pos, w, dcfg, p_len, sup, bsup,
@@ -253,7 +357,9 @@ def main(argv=None):
                         hyp_lens, done, seen, acc)
 
             # lvl >= 3: candidate buffer + stable top-2N + slot selection
-            if ro_impl in ("mmT2", "mmT2B"):
+            if ro_impl == "mmF":
+                pass                          # selected above, fused
+            elif ro_impl in ("mmT2", "mmT2B", "mmT2dv"):
                 top_s, top_i = _per_beam_top_k(logp, scores, 2 * N)
             else:
                 cand = (logp + scores.reshape(n_rows, 1)).reshape(
@@ -305,7 +411,8 @@ def main(argv=None):
                                   for a in v]
                                  if isinstance(v, list) else v)
                              for k, v in cache.items()}
-                elif ro_impl in ("mm", "mmS", "mmST", "mmT2"):
+                elif ro_impl in ("mm", "mmS", "mmST", "mmT2", "mmT2dv",
+                                 "mmF"):
                     onehot = jax.nn.one_hot(flat_parent, n_rows,
                                             dtype=jnp.bfloat16)
 
@@ -332,7 +439,8 @@ def main(argv=None):
                     cache = {k: ([mm_gather(a) for a in v]
                                  if isinstance(v, list) else v)
                              for k, v in cache.items()}
-                if ro_impl in ("mmS", "mmST", "mmT2", "mmB", "mmT2B"):
+                if ro_impl in ("mmS", "mmST", "mmT2", "mmB", "mmT2B",
+                               "mmT2dv", "mmF"):
                     seen = mm_gather(seen)
                 elif ro_impl in ("tok+seen", "take", "mm"):
                     seen = jnp.take(seen, flat_parent, axis=0)
@@ -383,7 +491,7 @@ def main(argv=None):
     ALL = (STAGE_ORDER[:4]
            + ["ro_tok", "ro_seen", "ro_cache", "reorder", "ro_mm",
               "hyp", "hyp_mm", "hyp_mmS", "hyp_mmST", "hyp_mmB",
-              "hyp_mmT2", "hyp_mmT2B"])
+              "hyp_mmT2", "hyp_mmT2B", "hyp_mmT2dv", "hyp_mmF"])
     stages = ([s for s in ALL if s in args.stages.split(",")]
               if args.stages else ALL) + ["prod"]
 
