@@ -324,14 +324,30 @@ class DecodeConfig(_ConfigBase):
     # faster in-pipeline (decode.resolve_logits_impl has the measured
     # scope). Token-for-token identical to "xla" (tests/test_decode.py).
     logits_impl: str = "auto"
-    # "auto" | "mm" | "take": how beam search's per-step parent reorder
-    # of the self-KV cache runs (HF _reorder_cache). "mm" expresses the
-    # permutation as a one-hot MXU matmul — exact for every cache dtype,
-    # and 17.1 -> 6.4 ms/step at b128/N=4 vs the jnp.take row gather,
-    # which XLA lowers pathologically inside the decode while_loop
-    # (scripts/beam_stage_ab.py). "auto" = "mm" on TPU, "take" elsewhere.
-    # A CONFIG field for the same jit-cache-key reason as self_kv_min.
+    # "auto" | "mm" | "take" | "pallas": how beam search's per-step
+    # parent reorder of the self-KV cache runs (HF _reorder_cache).
+    # "take" (the jnp.take row gather) is lowered pathologically by XLA
+    # inside the decode while_loop (+12.1 ms/step at b128/N=4); "mm"
+    # expresses the permutation as a one-hot MXU matmul (exact per
+    # dtype — beam._permute_rows_mxu; 17.1 -> 6.4 ms/step,
+    # scripts/beam_stage_ab.py); "pallas" (ops/permute.py) does the
+    # copy as a scalar-prefetch gather kernel but measures 13.3 vs mm's
+    # 5.9 ms/step in production (the custom call defeats the while-loop
+    # carry aliasing — scripts/beam_reorder_pallas_ab.py), kept as the
+    # exactness oracle. "auto" = "mm" on TPU, "take" elsewhere. A
+    # CONFIG field for the same jit-cache-key reason as self_kv_min.
     beam_reorder: str = "auto"
+    # Minimum decode-buffer length at which BEAM search quantizes the
+    # self-KV cache when kv_quant is set (greedy gates on self_kv_min).
+    # Default 0: always quantize alongside the cross KV. Measured a
+    # speed TIE at the short budget (5.308 vs 5.351 ms/step at
+    # b128/N=4/L=68, scripts/beam_reorder_pallas_ab.py mm_i8s vs
+    # mm_i8), but it halves the dominant L-proportional beam costs
+    # (the per-step reorder bytes and the self-attention re-read),
+    # halves beam decode-state memory per row, and keeps short and
+    # long budgets in one quantization regime. Set >= self_kv_min to
+    # recover the legacy greedy gating for A/B.
+    beam_self_kv_min: int = 0
     # "auto" | "merged" | "perbeam": how beam search selects its 2N
     # step candidates. "merged" materializes HF's (B, N*V) logp+score
     # candidate buffer and top-k's it; "perbeam" top-k's each (B*N, V)

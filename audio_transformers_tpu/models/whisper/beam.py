@@ -53,6 +53,7 @@ import jax.numpy as jnp
 
 from audio_transformers_tpu.core.config import DecodeConfig, WhisperConfig
 from audio_transformers_tpu.models.whisper import model as wm
+from audio_transformers_tpu.ops.permute import permute_rows_pallas
 from audio_transformers_tpu.models.whisper.decode import (_SPACE_TOKEN,
                                                           _process_logits,
                                                           build_prompt)
@@ -72,16 +73,27 @@ def resolve_beam_reorder(impl: str) -> str:
     while_loop it measures +12.1 ms/step at b128/N=4 — 25x the copy's
     bandwidth floor and 70% of the entire beam step — while the SAME
     gather in an isolated scan is ~free (scripts/beam_stage_ab.py: XLA
-    lowers the in-loop gather-on-carry pathologically). Expressing the
-    permutation as a one-hot matrix multiply runs it on the MXU instead:
+    lowers the in-loop gather-on-carry pathologically). "mm" expresses
+    the permutation as a one-hot matrix multiply on the MXU instead:
     out[r] = sum_s onehot[r, s] * a[s] touches exactly one operand row
-    per output row, so it is EXACT for every cache dtype (bf16 carries
-    f32 accumulation; int8 values |v|<=127 are exact in bf16), and the
-    beam step drops 17.1 -> 6.4 ms/step (same harness, same process,
-    production shape). "take" keeps the gather form for A/B."""
+    per output row, so it is exact for every cache dtype (bf16 carries
+    f32 accumulation; int8 and f32 take dedicated paths — see
+    _permute_rows_mxu), and the beam step drops 17.1 -> 6.4 ms/step
+    (same harness, same process, production shape). "take" keeps the
+    gather form for A/B.
+
+    "pallas" (ops/permute.permute_rows_pallas — the copy as a
+    scalar-prefetch gather kernel) is REJECTED as the default, measured
+    twice: in production generate_beam it is 13.3 vs mm's 5.9 ms/step
+    at b128/N=4 (scripts/beam_reorder_pallas_ab.py — the opaque custom
+    call defeats XLA's while-loop carry aliasing, so every carried
+    buffer is copied around the kernel each step), and even isolated
+    it runs ~4 us per grid point on 52 kB row copies
+    (scripts/pallas_permute_probe.py). It stays available as the exact
+    per-dtype copy oracle — it caught the f32 demotion bug below."""
     if impl == "auto":
         return "mm" if jax.default_backend() == "tpu" else "take"
-    if impl not in ("mm", "take"):
+    if impl not in ("mm", "take", "pallas"):
         raise ValueError(f"unknown beam_reorder {impl!r}")
     return impl
 
@@ -89,7 +101,28 @@ def resolve_beam_reorder(impl: str) -> str:
 def _permute_rows_mxu(a: jax.Array, onehot: jax.Array) -> jax.Array:
     """Row permutation as a one-hot matmul (see resolve_beam_reorder).
     `onehot` is (rows, rows) bf16; promotion keeps f32 operands in f32,
-    and int8/bool round-trip exactly through bf16 (integer values)."""
+    and bool rounds-trip exactly through bf16 (integer values).
+
+    int8 buffers (the quantized self-KV cache) take the int8 MXU path
+    instead — an int8 x int8 -> int32 dot runs at twice the bf16 rate
+    and reads the operand at half the bytes; one operand row per output
+    row keeps it exact (|v| <= 127 fits int32 trivially).
+
+    f32 buffers (the int8 cache's scale vectors) need
+    precision=HIGHEST: TPU matmuls at default precision round f32
+    operands to bf16, which silently degraded the scales every reorder
+    step (caught on chip by scripts/beam_reorder_pallas_ab.py's
+    token-equality gate; the 6-pass HIGHEST decomposition reconstructs
+    v * 1.0 exactly — chip-verified against jnp.take)."""
+    if a.dtype == jnp.int8:
+        out = jax.lax.dot_general(
+            onehot.astype(jnp.int8), a.reshape(a.shape[0], -1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return out.astype(jnp.int8).reshape(a.shape)
+    if a.dtype == jnp.float32:
+        return jnp.tensordot(onehot.astype(jnp.float32), a, axes=1,
+                             precision=jax.lax.Precision.HIGHEST)
     return jnp.tensordot(onehot, a, axes=1).astype(a.dtype)
 
 
@@ -270,7 +303,11 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     # post-prompt beams don't fill the first top-k with duplicates
     scores = jnp.full((batch, n_beams), _SCORE_FLOOR, jnp.float32)
     scores = scores.at[:, 0].set(0.0)
-    self_quant = dcfg.kv_quant if L >= dcfg.self_kv_min else "none"
+    # Beams gate self-KV quantization on beam_self_kv_min (default 0:
+    # always quantize alongside the cross KV), NOT greedy's self_kv_min:
+    # the parent reorder rewrites the whole self cache every step, so
+    # halving its bytes pays at any L (scripts/beam_reorder_pallas_ab.py)
+    self_quant = dcfg.kv_quant if L >= dcfg.beam_self_kv_min else "none"
     if self_quant == "int4":
         self_quant = "int8"      # same rationale as decode.generate
     cache = wm.init_cache(cfg, n_rows, max_len=L, dtype=enc.dtype,
@@ -286,7 +323,7 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
     hyp_lens = jnp.zeros((batch, n_beams), jnp.int32)
     done = jnp.zeros((batch,), bool)
 
-    reorder_mm = resolve_beam_reorder(dcfg.beam_reorder) == "mm"
+    reorder_impl = resolve_beam_reorder(dcfg.beam_reorder)
     topk_perbeam = resolve_beam_topk(dcfg.beam_topk) == "perbeam"
     track_seen = dcfg.repetition_penalty != 1.0
     if track_seen:
@@ -408,28 +445,46 @@ def generate_beam(params: dict, cfg: WhisperConfig, dcfg: DecodeConfig,
 
         # reorder every per-beam buffer by the chosen parents (HF
         # _reorder_cache), then append this step's tokens. The cache
-        # buffers go through the one-hot MXU matmul, NOT jnp.take: the
-        # in-loop gather-on-carry is the beam step's dominant pathology
-        # (+12.1 of 16.9 ms/step at b128/N=4 — resolve_beam_reorder).
+        # buffers go through the Pallas gather-copy (or the one-hot MXU
+        # matmul), NOT jnp.take: the in-loop gather-on-carry is the beam
+        # step's dominant pathology (+12.1 of 16.9 ms/step at b128/N=4 —
+        # resolve_beam_reorder).
         flat_parent = (b2 * n_beams + parent).reshape(-1)
         tokens = jnp.take(tokens, flat_parent, axis=0)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt_tok.reshape(-1)[:, None], (0, pos))
-        if reorder_mm:
+        if reorder_impl == "pallas":
+            # one kernel call copies every cache buffer AND the seen
+            # mask at HBM bandwidth (ops/permute.py)
+            flat = [a for v in cache.values()
+                    if isinstance(v, list) for a in v]
+            if track_seen:
+                flat.append(seen)
+            flat = permute_rows_pallas(flat, flat_parent)
+            if track_seen:
+                seen = flat.pop()
+            it = iter(flat)
+            cache = {k: ([next(it) for _ in v]
+                         if isinstance(v, list) else v)
+                     for k, v in cache.items()}
+        elif reorder_impl == "mm":
             onehot = jax.nn.one_hot(flat_parent, n_rows, dtype=jnp.bfloat16)
             cache = {k: ([_permute_rows_mxu(a, onehot) for a in v]
                          if isinstance(v, list) else v)
                      for k, v in cache.items()}
+            if track_seen:
+                # the (B*N, V) bool mask rides the MXU too
+                # (6.42 -> 6.20 ms/step at b128/N=4,
+                # scripts/beam_stage_ab.py hyp_mm vs hyp_mmS; bool
+                # round-trips bf16 exactly)
+                seen = _permute_rows_mxu(seen, onehot)
         else:
             cache = {k: ([jnp.take(a, flat_parent, axis=0) for a in v]
                          if isinstance(v, list) else v)
                      for k, v in cache.items()}
+            if track_seen:
+                seen = jnp.take(seen, flat_parent, axis=0)
         if track_seen:
-            # the (B*N, V) bool mask rides the MXU too when available
-            # (6.42 -> 6.20 ms/step at b128/N=4, scripts/beam_stage_ab.py
-            # hyp_mm vs hyp_mmS; bool round-trips bf16 exactly)
-            seen = (_permute_rows_mxu(seen, onehot) if reorder_mm
-                    else jnp.take(seen, flat_parent, axis=0))
             seen = seen.at[jnp.arange(n_rows),
                            nxt_tok.reshape(-1)].set(True)
         return (tokens, nxt_scores, cache, hyp_tokens, hyp_scores,

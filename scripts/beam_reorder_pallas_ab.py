@@ -1,25 +1,29 @@
-"""Beam-4 cost at the LONG (eval-like) token budget, bf16 vs int8 KV.
+"""Beam cache reorder: Pallas gather-copy vs one-hot MXU matmul, in
+PRODUCTION generate_beam, plus the beam self-KV quantization gate.
 
-bench.py's beam fields run the 64/16-token budgets (L=68), where the
-self-KV cache stays bf16 (below DecodeConfig.self_kv_min) and the
-per-step parent reorder moves bf16 bytes. The reference's num_beams
-surface is the sequence evaluator (~100-token budgets) and long serving
-decodes run far past that, where the reorder's bytes grow with L. This
-measures PRODUCTION generate_beam at budgets 256/64 (differenced ->
-long-L marginal ms/step), interleaved round-robin:
+Decomposes two changes at the bench config (b128/N=4, budgets 64/16
+differenced, pen 1.15 + ngram 3):
 
-  bf16    kv_quant="none"  — the reorder moves bf16 self-K/V
-  int8    kv_quant="int8" — beams gate self-KV quantization on
-          beam_self_kv_min (default 0), so BOTH budgets quantize the
-          self cache and the differenced marginal stays in one regime;
-          the reorder runs the int8 MXU dot on the int8 buffers (half
-          the bytes, twice the MACs/s) and the f32 scale vectors move
-          at Precision.HIGHEST (exact — beam.py _permute_rows_mxu).
-          The self_kv_min=4 kwarg below is inert for beams; kept so
-          the greedy-gating era's jit cache keys don't collide.
+  reorder impl   "mm" (one-hot matmul, the r5 shipped default) vs
+                 "pallas" (ops/permute.py scalar-prefetch gather-copy:
+                 the copy at HBM bandwidth instead of O(rows^2) FLOPs)
+  self-KV gate   legacy greedy gating (bf16 self cache below
+                 self_kv_min — beam_self_kv_min=192 here) vs beam
+                 gating (beam_self_kv_min=0: the reorder rewrites the
+                 whole cache every step, so halving its bytes pays at
+                 any L)
 
+Variants (kv_quant / beam_self_kv_min / reorder):
+  mm_bf16   none / -   / mm       the r5 shipped bf16 headline
+  pl_bf16   none / -   / pallas
+  mm_i8     int8 / 192 / mm       the r5 shipped int8 field
+  pl_i8     int8 / 192 / pallas
+  mm_i8s    int8 / 0   / mm       gate effect under mm
+  pl_i8s    int8 / 0   / pallas   the proposed serving config
+
+Token-equality of pallas vs mm is asserted at a small batch first.
 Methodology per CLAUDE.md: one jitted program per (variant, budget),
-min per cell across interleaved rounds, difference the mins.
+interleaved rounds, min per cell, difference the mins.
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ def main(argv=None):
     mel_cfg = MelConfig.whisper()
     compute = jnp.bfloat16 if on_tpu else jnp.float32
     B = args.batch if on_tpu else 4
-    HI, LO = (256, 64) if on_tpu else (12, 4)
+    HI, LO = (64, 16) if on_tpu else (8, 3)
     REPS = args.reps if on_tpu else 1
 
     rng = np.random.default_rng(0)
@@ -77,15 +81,38 @@ def main(argv=None):
     enc0.block_until_ready()
 
     VARIANTS = {
-        "bf16": dict(kv_quant="none"),
-        "int8": dict(kv_quant="int8", self_kv_min=4),
+        "mm_bf16": dict(kv_quant="none", beam_reorder="mm"),
+        "pl_bf16": dict(kv_quant="none", beam_reorder="pallas"),
+        "mm_i8": dict(kv_quant="int8", beam_self_kv_min=192,
+                      beam_reorder="mm"),
+        "pl_i8": dict(kv_quant="int8", beam_self_kv_min=192,
+                      beam_reorder="pallas"),
+        "mm_i8s": dict(kv_quant="int8", beam_self_kv_min=0,
+                       beam_reorder="mm"),
+        "pl_i8s": dict(kv_quant="int8", beam_self_kv_min=0,
+                       beam_reorder="pallas"),
     }
 
+    def dcfg(variant: str, budget: int) -> DecodeConfig:
+        return DecodeConfig(max_new_tokens=budget, num_beams=args.beams,
+                            repetition_penalty=1.15,
+                            no_repeat_ngram_size=3, **VARIANTS[variant])
+
+    # token-equality first, small batch (pallas must equal mm exactly
+    # per quant config; across quant configs tokens may differ)
+    enc_s = enc0[:8] if on_tpu else enc0
+    for mm_v, pl_v in (("mm_bf16", "pl_bf16"), ("mm_i8s", "pl_i8s")):
+        outs = {}
+        for v in (mm_v, pl_v):
+            outs[v] = wbeam.generate_beam(params["whisper"], w,
+                                          dcfg(v, 24), enc_s)
+        np.testing.assert_array_equal(np.asarray(outs[mm_v]["tokens"]),
+                                      np.asarray(outs[pl_v]["tokens"]))
+        print(f"token-equal: {pl_v} == {mm_v}", flush=True)
+
     def call(variant: str, budget: int):
-        d = DecodeConfig(max_new_tokens=budget, num_beams=args.beams,
-                         repetition_penalty=1.15, no_repeat_ngram_size=3,
-                         **VARIANTS[variant])
-        return wbeam.generate_beam(params["whisper"], w, d, enc0)["lengths"]
+        return wbeam.generate_beam(params["whisper"], w,
+                                   dcfg(variant, budget), enc0)["lengths"]
 
     def sync(x):
         return float(np.asarray(x.reshape(-1)[0], np.float32))
@@ -114,12 +141,12 @@ def main(argv=None):
                               min_time(lambda: call(v, budget), REPS))
         print(f"round {r} done", flush=True)
 
-    print(f"\n== beam-{args.beams} long-budget marginal "
+    print(f"\n== beam-{args.beams} reorder impl x self-KV gate "
           f"(B={B}, budgets {HI}/{LO}, pen 1.15 + ngram 3) ==")
     for v in VARIANTS:
         hi, lo = best[(v, HI)], best[(v, LO)]
         ms = (hi - lo) / (HI - LO) * 1e3
-        print(f"{v:5s} {ms:7.3f} ms/step   "
+        print(f"{v:8s} {ms:7.3f} ms/step   "
               f"(totals {hi*1e3:.0f} / {lo*1e3:.0f} ms)", flush=True)
 
 

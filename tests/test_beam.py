@@ -355,43 +355,49 @@ class TestBeamSharedCrossKV:
         assert agree >= 0.7, (agree, t, tq)
 
 
-class TestBeamReorderMM:
-    """beam_reorder="mm" (one-hot MXU matmul cache reorder) must be
-    token-identical to the jnp.take gather — the matmul touches exactly
-    one operand row per output row, so this holds for every cache dtype
-    (bf16/f32 directly; int8 self-KV values |v|<=127 are exact in bf16).
-    The perf claim it backs: 17.1 -> 6.4 ms/step at b128/N=4 on v5e
-    (scripts/beam_stage_ab.py)."""
+class TestBeamReorderImpls:
+    """beam_reorder="mm" (one-hot MXU matmul) and "pallas" (scalar-
+    prefetch gather-copy, ops/permute.py) must be token-identical to
+    the jnp.take gather — the matmul touches exactly one operand row
+    per output row (bf16/f32 directly; int8 self-KV values |v|<=127
+    are exact in bf16), and the kernel is a pure copy. The perf claims
+    they back: take 17.1 -> mm 6.4 -> pallas (see
+    scripts/beam_reorder_pallas_ab.py) ms/step at b128/N=4 on v5e."""
 
-    @pytest.mark.parametrize("kv_quant,self_kv_min", [
-        ("none", 192),   # bf16/f32 cache
-        ("int8", 4),     # int8 self cache + f32 scale buffers reorder too
+    @pytest.mark.parametrize("kv_quant,beam_self_kv_min", [
+        ("none", 0),     # bf16/f32 cache
+        ("int8", 0),     # int8 self cache + f32 scale buffers reorder too
+        ("int8", 192),   # int8 cross, bf16 self (the legacy gating)
     ])
-    def test_mm_equals_take(self, hf_pair, kv_quant, self_kv_min):
+    def test_impls_equal_take(self, hf_pair, kv_quant, beam_self_kv_min):
         _, cfg, params = hf_pair
         mel = _mel(3, 2 * cfg.max_source_positions, cfg.n_mels, seed=31)
         enc = wm.encode(params, cfg, jnp.asarray(mel))
         base = DecodeConfig(max_new_tokens=14, num_beams=3,
                             repetition_penalty=1.15,
                             no_repeat_ngram_size=3, kv_quant=kv_quant,
-                            self_kv_min=self_kv_min)
+                            beam_self_kv_min=beam_self_kv_min)
         prompt = (cfg.decoder_start_token_id,)
         outs = {}
-        for impl in ("take", "mm"):
+        for impl in ("take", "mm", "pallas"):
             outs[impl] = wbeam.generate_beam(
                 params, cfg, base.replace(beam_reorder=impl), enc,
                 prompt=prompt, begin_suppress_ids=())
-        np.testing.assert_array_equal(np.asarray(outs["mm"]["tokens"]),
-                                      np.asarray(outs["take"]["tokens"]))
-        np.testing.assert_array_equal(np.asarray(outs["mm"]["lengths"]),
-                                      np.asarray(outs["take"]["lengths"]))
-        np.testing.assert_allclose(
-            np.asarray(outs["mm"]["beam_scores"]),
-            np.asarray(outs["take"]["beam_scores"]), rtol=0, atol=0)
+        for impl in ("mm", "pallas"):
+            np.testing.assert_array_equal(
+                np.asarray(outs[impl]["tokens"]),
+                np.asarray(outs["take"]["tokens"]))
+            np.testing.assert_array_equal(
+                np.asarray(outs[impl]["lengths"]),
+                np.asarray(outs["take"]["lengths"]))
+            np.testing.assert_allclose(
+                np.asarray(outs[impl]["beam_scores"]),
+                np.asarray(outs["take"]["beam_scores"]), rtol=0, atol=0)
 
     def test_resolve(self):
         assert wbeam.resolve_beam_reorder("take") == "take"
         assert wbeam.resolve_beam_reorder("mm") == "mm"
+        assert wbeam.resolve_beam_reorder("pallas") == "pallas"
         assert wbeam.resolve_beam_reorder("auto") in ("mm", "take")
         with pytest.raises(ValueError):
             wbeam.resolve_beam_reorder("bogus")
