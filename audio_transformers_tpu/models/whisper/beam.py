@@ -103,23 +103,21 @@ def _permute_rows_mxu(a: jax.Array, onehot: jax.Array) -> jax.Array:
     `onehot` is (rows, rows) bf16; promotion keeps f32 operands in f32,
     and bool rounds-trip exactly through bf16 (integer values).
 
-    int8 buffers (the quantized self-KV cache) take the int8 MXU path
-    instead — an int8 x int8 -> int32 dot runs at twice the bf16 rate
-    and reads the operand at half the bytes; one operand row per output
-    row keeps it exact (|v| <= 127 fits int32 trivially).
+    int8 buffers (the quantized self-KV cache) promote through the
+    bf16 one-hot (|v| <= 127 is exact in bf16). An int8 x int8 -> int32
+    dot_general was tried and REJECTED: despite half the operand bytes
+    it measures 11.74 vs 9.65 ms/step on the long-budget int8 beam
+    (scripts/reorder_i8_decomp_ab.py — the int8 matmul lowering loses
+    more to layout/conversion work than it saves in reads).
 
     f32 buffers (the int8 cache's scale vectors) need
     precision=HIGHEST: TPU matmuls at default precision round f32
     operands to bf16, which silently degraded the scales every reorder
     step (caught on chip by scripts/beam_reorder_pallas_ab.py's
     token-equality gate; the 6-pass HIGHEST decomposition reconstructs
-    v * 1.0 exactly — chip-verified against jnp.take)."""
-    if a.dtype == jnp.int8:
-        out = jax.lax.dot_general(
-            onehot.astype(jnp.int8), a.reshape(a.shape[0], -1),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return out.astype(jnp.int8).reshape(a.shape)
+    v * 1.0 exactly — chip-verified against jnp.take,
+    scripts/reorder_exactness_chip_check.py — and costs nothing
+    measurable: same decomp script, 9.652 with vs 9.56 pre-fix)."""
     if a.dtype == jnp.float32:
         return jnp.tensordot(onehot.astype(jnp.float32), a, axes=1,
                              precision=jax.lax.Precision.HIGHEST)
