@@ -1,8 +1,8 @@
 """Beam-4 cost at the LONG (eval-like) token budget, bf16 vs int8 KV.
 
 bench.py's beam fields run the 64/16-token budgets (L=68), where the
-self-KV cache stays bf16 (below DecodeConfig.self_kv_min) and the
-per-step parent reorder moves bf16 bytes. The reference's num_beams
+L-proportional costs (reorder bytes, self-attention reads) are small.
+The reference's num_beams
 surface is the sequence evaluator (~100-token budgets) and long serving
 decodes run far past that, where the reorder's bytes grow with L. This
 measures PRODUCTION generate_beam at budgets 256/64 (differenced ->

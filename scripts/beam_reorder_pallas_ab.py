@@ -24,6 +24,14 @@ Variants (kv_quant / beam_self_kv_min / reorder):
 Token-equality of pallas vs mm is asserted at a small batch first.
 Methodology per CLAUDE.md: one jitted program per (variant, budget),
 interleaved rounds, min per cell, difference the mins.
+
+RESULT (v5e, artifacts/beam_attribution_r5/reorder_pallas_ab.log):
+mm_bf16 5.89 / pl_bf16 13.28 / mm_i8 5.35 / pl_i8 12.57 / mm_i8s 5.31
+/ pl_i8s 13.75 ms/step. Pallas REJECTED as the reorder default (the
+opaque custom call defeats XLA's while-loop carry aliasing — see
+ops/permute.py); beam_self_kv_min=0 kept as a speed tie with capacity
+and single-regime benefits. The token-equality gate caught the f32
+scale demotion bug fixed in beam._permute_rows_mxu.
 """
 
 from __future__ import annotations
